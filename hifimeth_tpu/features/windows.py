@@ -1,0 +1,79 @@
+"""On-device feature pipeline: packed read planes -> per-site windows -> CNN.
+
+TPU-first design, not a translation of the reference's per-site scalar loop
+(eval_kmer_features.cpp:9-65).  Reads are packed host-side into a flat u8
+buffer of 5 planes (2-bit codes, fi, fp, ri, rp - all in native-forward
+coordinates, see features/read_decode.py).  On device:
+
+ 1. `featurize_planes` expands the buffer once into an (N, 8) float table
+    (one-hot + codeV1-normalized kinetics) - O(bases), amortized over the
+    ~100x overlapping windows that share each base.
+ 2. `gather_windows` turns (center, strand, read-bounds) site descriptors
+    into (B, 401, 8) tiles with one big gather; reverse-strand sites reuse
+    the same rows via index arithmetic + channel permutation (complementing
+    a one-hot is reversing its 4 channels; opposite-strand kinetics is a
+    channel swap).  This avoids shipping 401x-redundant feature tensors over
+    PCIe and avoids a second reverse-complement feature table in HBM.
+ 3. the per-context CNN (model/cnn.py) runs on the gathered tiles.
+
+Everything is shape-static and jit-compiled once per (buffer capacity, batch
+size).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CODEV1_TO_FRAME_NORM, KMER_SIZE
+from ..model.cnn import dnamodnet_apply, logits_to_scaled_probs
+
+# channel permutation applied to reverse-strand windows:
+# one-hot A,C,G,T -> T,G,C,A (complement) ; (fi,fp,ri,rp) -> (ri,rp,fi,fp)
+REV_CHANNEL_PERM = np.array([3, 2, 1, 0, 6, 7, 4, 5], dtype=np.int32)
+
+
+@jax.jit
+def featurize_planes(planes: jax.Array) -> jax.Array:
+    """(5, N) u8 packed planes -> (N, 8) float32 per-base feature table."""
+    codes = planes[0]
+    onehot = (codes[:, None] == jnp.arange(4, dtype=codes.dtype)).astype(jnp.float32)
+    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
+    kin = table[planes[1:5]]                       # (4, N) f32
+    return jnp.concatenate([onehot, kin.T], axis=1)
+
+
+@partial(jax.jit, static_argnames=("kmer_size",))
+def gather_windows(feats: jax.Array, centers: jax.Array, strands: jax.Array,
+                   rstart: jax.Array, rend: jax.Array,
+                   kmer_size: int = KMER_SIZE) -> jax.Array:
+    """Gather (B, kmer, 8) float32 site windows from the per-base table.
+
+    centers: global fwd-coord center index per site; strands: 0=FWD,1=REV;
+    rstart/rend: the owning read's [start, end) span in the packed buffer
+    (windows never cross read boundaries; outside positions are zeroed,
+    matching the reference's zero padding, eval_kmer_features.cpp:40).
+    """
+    hk = kmer_size // 2
+    j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
+    dirs = jnp.where(strands == 0, 1, -1).astype(jnp.int32)
+    pos = centers[:, None].astype(jnp.int32) + dirs[:, None] * j[None, :]
+    valid = (pos >= rstart[:, None]) & (pos < rend[:, None])
+    p = jnp.clip(pos, 0, feats.shape[0] - 1)
+    w = feats[p]                                   # (B, kmer, 8)
+    w_rev = w[..., jnp.asarray(REV_CHANNEL_PERM)]
+    w = jnp.where((strands != 0)[:, None, None], w_rev, w)
+    return w * valid[..., None].astype(w.dtype)
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype"))
+def call_sites(params, feats: jax.Array, centers: jax.Array,
+               strands: jax.Array, rstart: jax.Array, rend: jax.Array,
+               kmer_size: int = KMER_SIZE,
+               compute_dtype=jnp.float32) -> jax.Array:
+    """windows -> CNN -> u8 scaled probs, fused under one jit."""
+    w = gather_windows(feats, centers, strands, rstart, rend, kmer_size)
+    logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype)
+    return logits_to_scaled_probs(logits)
