@@ -68,12 +68,17 @@ def gather_windows(feats: jax.Array, centers: jax.Array, strands: jax.Array,
     return w * valid[..., None].astype(w.dtype)
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype"))
+@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec"))
 def call_sites(params, feats: jax.Array, centers: jax.Array,
                strands: jax.Array, rstart: jax.Array, rend: jax.Array,
                kmer_size: int = KMER_SIZE,
-               compute_dtype=jnp.float32) -> jax.Array:
-    """windows -> CNN -> u8 scaled probs, fused under one jit."""
+               compute_dtype=jnp.float32,
+               spec: tuple | None = None) -> jax.Array:
+    """windows -> CNN -> u8 scaled probs, fused under one jit.
+
+    `spec` is the static conv geometry (model.cnn.conv_spec); required when
+    the params pytree holds only weight tensors.
+    """
     w = gather_windows(feats, centers, strands, rstart, rend, kmer_size)
-    logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype)
+    logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype, spec=spec)
     return logits_to_scaled_probs(logits)

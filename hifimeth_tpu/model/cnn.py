@@ -138,24 +138,38 @@ def load_params_npz(path: str) -> Params:
 # Forward
 
 
+def conv_spec(params: Params) -> tuple[tuple[int, int, int], ...]:
+    """Static conv geometry (stride, pad_lo, pad_hi) per layer, for use as a
+    jit-static argument alongside the traced weight pytree."""
+    return tuple((int(c["stride"]), int(c["pad"][0]), int(c["pad"][1]))
+                 for c in params["convs"])
+
+
 def dnamodnet_apply(params: Params, x: jax.Array, *,
-                    compute_dtype=jnp.float32) -> jax.Array:
+                    compute_dtype=jnp.float32,
+                    spec: tuple[tuple[int, int, int], ...] | None = None) -> jax.Array:
     """Forward pass: x (B, kmer, feat) float -> logits (B, 2) float32.
 
     Matches the reference forward (model_cnn.py:76-85) with BN folded.  With
     compute_dtype=bfloat16 the convs/FCs run on the MXU in bf16 with float32
     accumulation (preferred_element_type), which keeps scaled-prob error
     within the u8 quantization bucket in practice.
+
+    `spec` carries the static (stride, pad) conv geometry; when None it is
+    derived from the params (only valid outside jit, where stride/pad are
+    plain ints).
     """
+    if spec is None:
+        spec = conv_spec(params)
     bn = params["bn0"]
     h = x.astype(jnp.float32) * jnp.asarray(bn["scale"]) + jnp.asarray(bn["shift"])
     h = h.astype(compute_dtype)
-    for conv in params["convs"]:
+    for conv, (stride, lo, hi) in zip(params["convs"], spec):
         w = jnp.asarray(conv["w"], dtype=compute_dtype)
         h = jax.lax.conv_general_dilated(
             h, w,
-            window_strides=(conv["stride"],),
-            padding=[conv["pad"]],
+            window_strides=(stride,),
+            padding=[(lo, hi)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
         )

@@ -1,0 +1,110 @@
+"""End-to-end `call` test: synthetic kinetics BAM -> mod BAM, MM/ML verified
+against an independent host-side computation (numpy feature extraction +
+model forward)."""
+import numpy as np
+import pytest
+
+from hifimeth_tpu.constants import FWD, REV
+from hifimeth_tpu.engine.call import CallConfig, run_call
+from hifimeth_tpu.features import sites as sitefind
+from hifimeth_tpu.features.extract import extract_site_features
+from hifimeth_tpu.features.read_decode import decode_read, native_fwd_seq
+from hifimeth_tpu.io.bam import BamReader
+from hifimeth_tpu.io.mmtags import parse_mod_tags_flat
+from hifimeth_tpu.model.cnn import (dnamodnet_apply, load_params_npz,
+                                    logits_to_scaled_probs)
+
+from util import make_kinetics_read, write_bam
+
+
+def _expected_calls(rec, models, contexts):
+    """Independent per-read call computation via the host golden path."""
+    read = decode_read(rec)
+    offs_all, strands_all, probs_all = [], [], []
+    for ctx in contexts:
+        if ctx == "CpG":
+            offs = sitefind.cpg_sites(read.seq)
+            strands = np.zeros(len(offs), np.uint8)
+        elif ctx == "CHG":
+            offs = sitefind.chg_sites(read.seq)
+            strands = np.zeros(len(offs), np.uint8)
+        else:
+            offs, strands = sitefind.chh_sites(read.seq)
+        if len(offs) == 0:
+            continue
+        feats = extract_site_features(read, offs, strands)
+        logits = dnamodnet_apply(models[ctx], feats)
+        probs = np.asarray(logits_to_scaled_probs(logits))
+        offs_all.append(offs)
+        strands_all.append(strands)
+        probs_all.append(probs)
+    if not offs_all:
+        return (np.empty(0, np.int64),) * 3
+    offs = np.concatenate(offs_all)
+    strands = np.concatenate(strands_all)
+    probs = np.concatenate(probs_all)
+    order = np.argsort(offs, kind="stable")
+    return offs[order], strands[order], probs[order]
+
+
+@pytest.mark.parametrize("contexts", [("CpG",), ("CpG", "CHG", "CHH")])
+def test_call_end_to_end(tmp_path, contexts):
+    rng = np.random.default_rng(42)
+    recs = [
+        make_kinetics_read(rng, "r0", 1500),
+        make_kinetics_read(rng, "r_short", 200),          # below min_read_size
+        make_kinetics_read(rng, "r1", 1200, flag=16),     # reverse-flag read
+        make_kinetics_read(rng, "r2", 2000, raw_frames=True),  # raw 'S' frames
+        make_kinetics_read(rng, "r3", 1100),
+    ]
+    # read without kinetics -> passthrough
+    nok = make_kinetics_read(rng, "r_nokin", 1500)
+    for t in ("fi", "ri", "fp", "rp"):
+        nok.del_tag(t)
+    recs.append(nok)
+
+    in_bam = tmp_path / "in.bam"
+    out_bam = tmp_path / "out.bam"
+    write_bam(in_bam, recs)
+
+    cfg = CallConfig(contexts=contexts, buffer_bases=1 << 13,  # force multi-flush
+                     site_batch=256)
+    stats = run_call(str(in_bam), str(out_bam), cfg)
+    assert stats["reads"] == len(recs)
+
+    models = {ctx: load_params_npz(f"models/{ctx}.npz") for ctx in contexts}
+
+    out = list(BamReader(out_bam))
+    assert [r.qname for r in out] == [r.qname for r in recs]
+    for rec_in, rec_out in zip(recs, out):
+        fwd_seq = native_fwd_seq(rec_out)
+        if rec_in.qname in ("r_short", "r_nokin"):
+            assert rec_out.get_tag("MM") is None
+            # passthrough keeps kinetics
+            if rec_in.qname == "r_short":
+                assert rec_out.get_tag("fi") is not None
+            continue
+        # kinetics stripped on called reads
+        assert rec_out.get_tag("fi") is None
+        assert rec_out.get_tag("MN")[1] == rec_out.l_seq
+        qoffs, strands, codes, probs = parse_mod_tags_flat(rec_out, fwd_seq)
+        # MM stores fwd series then rev series; re-sort by qoff to compare
+        order = np.argsort(qoffs, kind="stable")
+        qoffs, strands, probs = qoffs[order], strands[order], probs[order]
+
+        eoffs, estrands, eprobs = _expected_calls(rec_in, models, contexts)
+        # expected strand of the MM series: fwd calls sit on C (series C+m ->
+        # strand FWD), rev calls on G (G-m -> REV)
+        np.testing.assert_array_equal(qoffs, eoffs)
+        np.testing.assert_array_equal(strands, estrands)
+        diff = np.abs(probs.astype(int) - eprobs.astype(int))
+        assert diff.max() <= 1, f"{rec_in.qname}: max prob diff {diff.max()}"
+
+
+def test_call_empty_bam(tmp_path):
+    in_bam = tmp_path / "in.bam"
+    out_bam = tmp_path / "out.bam"
+    write_bam(in_bam, [])
+    stats = run_call(str(in_bam), str(out_bam), CallConfig(contexts=("CpG",)))
+    assert stats["reads"] == 0
+    assert list(BamReader(out_bam)) == []
