@@ -1,0 +1,202 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (main.cpp:35-46): call, pileup, corr,
+cov2bed, sample, eval - plus framework extras: import-model, read-level-eval,
+train, bench.  Flags keep the reference's short names where they exist
+(mod_options.cpp, pileup.cpp) with long aliases.
+"""
+from __future__ import annotations
+
+import sys
+
+from . import __version__
+from .utils.logging import log, program_banner, program_info
+
+PROG = "hifimeth-tpu"
+
+
+def _usage() -> int:
+    print(f"""USAGE:
+  {PROG} <command> [OPTIONS]
+
+COMMANDS:
+  call             Detect single-molecule 5mC (CpG/CHG/CHH) in BAM reads
+  pileup           Genome-wide methylation frequency from an aligned mod-BAM
+  corr             Pearson correlation between two methylation BED files
+  cov2bed          Convert 1-based Bismark .cov to 0-based BED
+  sample           Randomly subsample an unmapped kinetics BAM to a coverage
+  eval             Extract read-level evaluation samples vs BS-seq labels
+  read-level-eval  Score eval output files (accuracy/precision/.../AUC/AP)
+  import-model     Convert reference ONNX models to native .npz
+  train            Train a per-context DNAModNet on extracted features
+  version          Print version
+
+VERSION:
+  {__version__}""", file=sys.stderr)
+    return 1
+
+
+def _parse_call(argv):
+    from .engine.call import CallConfig
+    cfg = CallConfig()
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-m", "--model-dir"):
+            cfg.model_dir = argv[i + 1]; i += 2
+        elif a in ("-l", "--min-read-size"):
+            cfg.min_read_size = int(argv[i + 1]); i += 2
+        elif a in ("-s", "--site-batch"):
+            cfg.site_batch = int(argv[i + 1]); i += 2
+        elif a in ("-b", "--read-batch-size"):
+            cfg.read_batch_size = int(argv[i + 1]); i += 2
+        elif a in ("-k", "--keep-kinetics"):
+            cfg.keep_kinetics = True; i += 1
+        elif a in ("-t", "--threads"):
+            cfg.io_threads = int(argv[i + 1]); i += 2
+        elif a in ("-c", "--contexts"):
+            sel = [c.strip().upper() for c in argv[i + 1].split(",") if c.strip()]
+            name_map = {"CPG": "CpG", "CHG": "CHG", "CHH": "CHH"}
+            try:
+                cfg.contexts = tuple(name_map[c] for c in sel)
+            except KeyError:
+                raise SystemExit(f"Illegal argument to option '-c': {argv[i + 1]}")
+            i += 2
+        elif a == "--dtype":
+            cfg.compute_dtype = {"f32": "float32", "float32": "float32",
+                                 "bf16": "bfloat16", "bfloat16": "bfloat16"}[argv[i + 1]]
+            i += 2
+        elif a == "--buffer-bases":
+            cfg.buffer_bases = int(argv[i + 1]); i += 2
+        elif a.startswith("-") and len(a) > 1:
+            raise SystemExit(f"ERROR: unrecognised option {a}")
+        else:
+            pos.append(a); i += 1
+    if len(pos) != 2:
+        print(f"USAGE:\n  {PROG} call [OPTIONS] BAM MOD-BAM\n\n"
+              "OPTIONS:\n"
+              "  -m DIR   model directory (default: <repo>/models)\n"
+              "  -l INT   minimum read length (default 1000)\n"
+              "  -s INT   device site-batch size (default 8192)\n"
+              "  -b INT   reads per progress batch (default 10000)\n"
+              "  -k       keep kinetics tags in output\n"
+              "  -c STR   contexts, comma separated (default cpg,chg,chh)\n"
+              "  -t INT   IO threads (default 8)\n"
+              "  --dtype {f32,bf16}   device compute dtype\n"
+              "  --buffer-bases INT   packed device buffer capacity",
+              file=sys.stderr)
+        raise SystemExit(1)
+    return cfg, pos
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        return _usage()
+    cmd, rest = argv[0], argv[1:]
+    if cmd in ("-v", "--version", "version"):
+        print(__version__)
+        return 0
+
+    if cmd == "call":
+        from .engine.call import run_call
+        cfg, pos = _parse_call(rest)
+        program_banner(PROG, __version__)
+        with program_info(PROG):
+            run_call(pos[0], pos[1], cfg, cmdline=" ".join([PROG] + argv))
+        return 0
+
+    if cmd == "pileup":
+        from .quant.pileup import PileupConfig, run_pileup
+        cfg = PileupConfig()
+        pos = []
+        i = 0
+        while i < len(rest):
+            a = rest[i]
+            if a in ("-q", "--min-mapq"):
+                cfg.min_mapq = int(rest[i + 1]); i += 2
+            elif a in ("-f", "--min-identity"):
+                cfg.min_identity = float(rest[i + 1]); i += 2
+            elif a in ("-t", "--threads"):
+                cfg.io_threads = int(rest[i + 1]); i += 2
+            elif a.startswith("-") and len(a) > 1:
+                raise SystemExit(f"ERROR: unrecognised option {a}")
+            else:
+                pos.append(a); i += 1
+        if len(pos) != 3:
+            print(f"USAGE:\n  {PROG} pileup [-q mapQ] [-f identity] [-t threads] "
+                  "reference mod-bam output-prefix", file=sys.stderr)
+            return 1
+        with program_info(PROG):
+            run_pileup(pos[0], pos[1], pos[2], cfg)
+        return 0
+
+    if cmd == "corr":
+        from .tools.corr import run_corr
+        min_cov = 5
+        pos = []
+        i = 0
+        while i < len(rest):
+            if rest[i] in ("-c", "--min-cov"):
+                min_cov = int(rest[i + 1]); i += 2
+            else:
+                pos.append(rest[i]); i += 1
+        if len(pos) != 2:
+            print(f"USAGE:\n  {PROG} corr [-c min-cov] bed1 bed2", file=sys.stderr)
+            return 1
+        run_corr(pos[0], pos[1], min_cov)
+        return 0
+
+    if cmd == "cov2bed":
+        from .tools.cov2bed import run_cov2bed
+        if len(rest) != 4:
+            print(f"USAGE:\n  {PROG} cov2bed reference context bismark-cov bed",
+                  file=sys.stderr)
+            return 1
+        run_cov2bed(*rest)
+        return 0
+
+    if cmd == "sample":
+        from .tools.sample import run_sample
+        if len(rest) != 4:
+            print(f"USAGE:\n  {PROG} sample reference input-bam coverage "
+                  "output-bam", file=sys.stderr)
+            return 1
+        with program_info(PROG):
+            run_sample(rest[0], rest[1], int(rest[2]), rest[3])
+        return 0
+
+    if cmd == "eval":
+        from .tools.evaltool import run_eval
+        if len(rest) != 4:
+            print(f"USAGE:\n  {PROG} eval reference bismark-bed mod-bam "
+                  "output-prefix", file=sys.stderr)
+            return 1
+        with program_info(PROG):
+            run_eval(*rest)
+        return 0
+
+    if cmd == "read-level-eval":
+        from .tools.read_level_metrics import run_read_level_eval
+        if len(rest) != 2:
+            print(f"USAGE:\n  {PROG} read-level-eval input-prefix num-evals",
+                  file=sys.stderr)
+            return 1
+        run_read_level_eval(rest[0], int(rest[1]))
+        return 0
+
+    if cmd == "import-model":
+        from .tools.import_model import main as im_main
+        return im_main(rest)
+
+    if cmd == "train":
+        from .train.train import main as train_main
+        return train_main(rest)
+
+    print(f"ERROR: unknown command {cmd!r}", file=sys.stderr)
+    return _usage()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

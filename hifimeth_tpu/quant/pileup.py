@@ -1,0 +1,293 @@
+"""Genome-wide methylation quantification (`pileup`).
+
+Replicates the reference two-pass algorithm (pileup.cpp:461-606):
+
+Pass 1 (streaming over a coordinate-sorted mod-BAM):
+  - parse MM/ML per read; histogram scaled probs per context classified by
+    read-local sequence context, primary reads only (pileup.cpp:237-272)
+  - for reads passing mapQ/identity filters, map each called site to genome
+    coordinates via alignment-exact motif matching and spill
+    (sid, soff, prob, motif) records to a temp file (pileup.cpp:485-505)
+
+Then derive per-context adaptive thresholds (quant/threshold.py) and replay
+the spill per chromosome into pcov/ncov arrays, emitting three 6-column BEDs
+`chr start end freq% pcov ncov` with freq = 100*p/(p+n) (pileup.cpp:513-595).
+
+The per-chromosome count accumulation is exposed as pure functions so the
+multi-host path can psum partial (pcov, ncov) shards over a device mesh
+instead of the reference's mutex merge.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..features.read_decode import native_fwd_seq
+from ..features.sites import _IS_H  # A/C/T membership table
+from ..io.bam import BamReader
+from ..io.fasta import FastaDatabase
+from ..io.mmtags import parse_mod_tags_flat
+from ..utils.logging import log
+from .alignment import expand_alignment
+from .mapping import map_chg_sites, map_chh_sites, map_cpg_sites
+from .threshold import resolve_threshold
+
+_C, _G = ord("C"), ord("G")
+_IS_D = np.zeros(256, dtype=bool)   # A/G/T (rev CHH inner bases)
+for _c in b"AGT":
+    _IS_D[_c] = True
+
+SPILL_DTYPE = np.dtype(
+    [("sid", "<i4"), ("soff", "<i4"), ("prob", "u1"), ("motif", "u1")])
+
+
+@dataclass
+class PileupConfig:
+    min_mapq: int = 0        # reference default (pileup.cpp:18)
+    min_identity: float = 0.0
+    io_threads: int = 8
+
+
+def classify_read_mods(fwd_seq: np.ndarray, qoffs: np.ndarray) -> np.ndarray:
+    """Read-local context class per mod: 0 CpG, 1 CHG, 2 CHH, -1 none.
+
+    Vectorized pileup.cpp:237-271: 'C' sites classify by the forward 3-mer
+    with CpG > CHG > CHH precedence; 'G' sites count as CHH only when the
+    preceding 3-mer is a reverse CHH motif."""
+    L = len(fwd_seq)
+    cls = np.full(len(qoffs), -1, np.int8)
+    if len(qoffs) == 0:
+        return cls
+    base = fwd_seq[qoffs]
+
+    c_mask = base == _C
+    c_off = qoffs[c_mask]
+    nxt1 = np.where(c_off + 1 < L, fwd_seq[np.minimum(c_off + 1, L - 1)], 0)
+    nxt2 = np.where(c_off + 2 < L, fwd_seq[np.minimum(c_off + 2, L - 1)], 0)
+    is_cpg = (c_off + 1 < L) & (nxt1 == _G)
+    is_chg = ~is_cpg & (c_off + 2 < L) & _IS_H[nxt1] & (nxt2 == _G)
+    is_chh = ~is_cpg & ~is_chg & (c_off + 2 < L) & _IS_H[nxt1] & _IS_H[nxt2]
+    c_cls = np.full(len(c_off), -1, np.int8)
+    c_cls[is_cpg] = 0
+    c_cls[is_chg] = 1
+    c_cls[is_chh] = 2
+    cls[c_mask] = c_cls
+
+    g_mask = base == _G
+    g_off = qoffs[g_mask]
+    p1 = np.where(g_off - 1 >= 0, fwd_seq[np.maximum(g_off - 1, 0)], 0)
+    p2 = np.where(g_off - 2 >= 0, fwd_seq[np.maximum(g_off - 2, 0)], 0)
+    is_rev_chh = (g_off - 2 >= 0) & _IS_D[p2] & _IS_D[p1]
+    g_cls = np.where(is_rev_chh, 2, -1).astype(np.int8)
+    cls[g_mask] = g_cls
+    return cls
+
+
+def accumulate_counts(soffs: np.ndarray, probs: np.ndarray, motifs: np.ndarray,
+                      thresholds: np.ndarray, chr_size: int):
+    """(pcov, ncov, motif_map) per-position arrays for one chromosome.
+
+    Pure-function equivalent of pileup.cpp:513-560; motif_map records the
+    LAST motif class written per position (replicating file-order overwrite)
+    with 255 = untouched."""
+    thr = thresholds[motifs]
+    pos = probs >= thr
+    pcov = np.bincount(soffs[pos], minlength=chr_size).astype(np.int32)
+    ncov = np.bincount(soffs[~pos], minlength=chr_size).astype(np.int32)
+    motif_map = np.full(chr_size, 255, np.uint8)
+    motif_map[soffs] = motifs          # fancy assignment: last write wins
+    return pcov, ncov, motif_map
+
+
+def write_bed_rows(out, chr_name: str, pcov, ncov, motif_map, motif: int) -> int:
+    """Emit 6-column rows for one motif class; %g freq formatting matches the
+    reference's default ostream double formatting (pileup.cpp:562-586)."""
+    cov = pcov + ncov
+    rows = np.flatnonzero((cov > 0) & (motif_map == motif))
+    for k in rows:
+        p = int(pcov[k])
+        c = int(cov[k])
+        freq = 100.0 * p / c
+        out.write(f"{chr_name}\t{k}\t{k + 1}\t{freq:g}\t{p}\t{int(ncov[k])}\n")
+    return len(rows)
+
+
+class PileupSpill:
+    """Buffered spill of mapped mod records, replayed per chromosome.
+
+    The TPU-scale analog of the reference's read_base_mods temp file
+    (pileup.cpp:485-505): input order over a coordinate-sorted BAM keeps the
+    spill sid-ordered, so replay is a sequential scan."""
+
+    def __init__(self, n_chr: int, flush_records: int = 1 << 20, dir=None):
+        self.chr_counts = np.zeros(n_chr, np.int64)
+        self._buf: list[np.ndarray] = []
+        self._buffered = 0
+        self._flush_records = flush_records
+        fd, self.path = tempfile.mkstemp(prefix="read_base_mods_", dir=dir)
+        self._fh = os.fdopen(fd, "wb")
+
+    def add(self, recs: np.ndarray) -> None:
+        if len(recs) == 0:
+            return
+        np.add.at(self.chr_counts, recs["sid"], 1)
+        self._buf.append(recs)
+        self._buffered += len(recs)
+        if self._buffered >= self._flush_records:
+            self.flush()
+
+    def flush(self) -> None:
+        for b in self._buf:
+            b.tofile(self._fh)
+        self._buf.clear()
+        self._buffered = 0
+
+    def finish(self):
+        self.flush()
+        self._fh.close()
+
+    def replay(self, chunk: int = 1 << 20):
+        """Yield record chunks in file order."""
+        with open(self.path, "rb") as f:
+            while True:
+                arr = np.fromfile(f, dtype=SPILL_DTYPE, count=chunk)
+                if len(arr) == 0:
+                    break
+                yield arr
+
+    def cleanup(self):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
+               cfg: PileupConfig | None = None,
+               spill_dir: str | None = None) -> dict:
+    cfg = cfg or PileupConfig()
+    reader = BamReader(mod_bam_path, threads=cfg.io_threads)
+    hdr = reader.header
+    if hdr.n_refs == 0 or hdr.sort_order() != "coordinate":
+        print("ERROR: Methylation frequency could not be computed due to the "
+              "following errors:", file=sys.stderr)
+        if hdr.n_refs == 0:
+            print("BAM is not mapped", file=sys.stderr)
+        if hdr.sort_order() != "coordinate":
+            print("BAM is not sorted", file=sys.stderr)
+        raise SystemExit(1)
+
+    db = FastaDatabase(reference_path)
+    bins = np.zeros((3, 256), np.int64)
+    spill = PileupSpill(db.num_seqs, dir=spill_dir)
+
+    n_reads = 0
+    for rec in reader:
+        n_reads += 1
+        if n_reads % 100000 == 0:
+            log("%10d reads processed", n_reads)
+        fwd_seq = native_fwd_seq(rec)
+        qoffs, strands, codes, probs = parse_mod_tags_flat(rec, fwd_seq)
+        if len(qoffs) == 0:
+            continue
+
+        if not rec.is_secondary_or_supplementary:
+            # histogram: all codes, C/G bases only (pileup.cpp:238-271)
+            keep = (fwd_seq[qoffs] == _C) | (fwd_seq[qoffs] == _G)
+            cls = classify_read_mods(fwd_seq, qoffs[keep])
+            pr = probs[keep]
+            for m in range(3):
+                sel = cls == m
+                if sel.any():
+                    bins[m] += np.bincount(pr[sel], minlength=256)
+
+        if rec.mapq < cfg.min_mapq:
+            continue
+        aln = expand_alignment(rec, db, hdr.tid2name(rec.refid))
+        if aln is None:
+            continue
+        if aln.pi < cfg.min_identity:
+            continue
+
+        # read-position -> prob lookup for code 'm' mods (pileup.cpp:277-284)
+        has_prob = np.zeros(rec.l_seq, bool)
+        prob_at = np.zeros(rec.l_seq, np.uint8)
+        m_mask = codes == ord("m")
+        has_prob[qoffs[m_mask]] = True
+        prob_at[qoffs[m_mask]] = probs[m_mask]
+
+        out_parts = []
+        for motif, (mq, ms) in enumerate((
+                map_cpg_sites(aln), map_chg_sites(aln), map_chh_sites(aln))):
+            if len(mq) == 0:
+                continue
+            sel = has_prob[mq]
+            if not sel.any():
+                continue
+            part = np.empty(int(sel.sum()), SPILL_DTYPE)
+            part["sid"] = aln.sid
+            part["soff"] = ms[sel]
+            part["prob"] = prob_at[mq[sel]]
+            part["motif"] = motif
+            out_parts.append(part)
+        if out_parts:
+            spill.add(np.concatenate(out_parts))
+    reader.close()
+    spill.finish()
+
+    thresholds = np.array([
+        resolve_threshold(bins[0], "CpG"),
+        resolve_threshold(bins[1], "CHG"),
+        resolve_threshold(bins[2], "CHH"),
+    ], np.uint8)
+
+    outs = {
+        0: open(f"{output_prefix}.CpG.cov.bed", "w"),
+        1: open(f"{output_prefix}.CHG.cov.bed", "w"),
+        2: open(f"{output_prefix}.CHH.cov.bed", "w"),
+    }
+    # replay: records are sid-ordered (coordinate-sorted input); accumulate
+    # one chromosome at a time
+    cur_sid = -1
+    pcov = ncov = motif_map = None
+    rows = 0
+
+    def _emit(sid):
+        nonlocal rows
+        if sid < 0:
+            return
+        name = db.seq_name(sid)
+        for m in range(3):
+            rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map, m)
+
+    for chunk in spill.replay():
+        for sid in np.unique(chunk["sid"]):
+            part = chunk[chunk["sid"] == sid]
+            if sid != cur_sid:
+                _emit(cur_sid)
+                cur_sid = int(sid)
+                size = db.seq_length(cur_sid)
+                pcov = np.zeros(size, np.int32)
+                ncov = np.zeros(size, np.int32)
+                motif_map = np.full(size, 255, np.uint8)
+            p, n, mm = accumulate_counts(
+                part["soff"].astype(np.int64), part["prob"],
+                part["motif"], thresholds, len(pcov))
+            pcov += p
+            ncov += n
+            touched = mm != 255
+            motif_map[touched] = mm[touched]
+    _emit(cur_sid)
+    for f in outs.values():
+        f.close()
+    spill.cleanup()
+    return {
+        "reads": n_reads,
+        "thresholds": thresholds.tolist(),
+        "bed_rows": rows,
+        "bins": bins,
+    }

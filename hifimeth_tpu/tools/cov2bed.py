@@ -1,0 +1,141 @@
+"""`cov2bed`: convert 1-based Bismark .cov files to the 0-based 7-column BED
+convention, with the reference's per-context strand aggregation rules
+(cov_to_bed.cpp):
+
+ - CpG: fwd C kept at the C; rev-strand G counts aggregated (+=) into the
+   fwd C at soff-1 (cov_to_bed.cpp:111-130)
+ - CHG: fwd C[ACT]G kept at the C; rev CAG/CTG aggregated to the fwd C at
+   soff-2; rev CCG (genome CGG) kept at its own G position -- a deliberate
+   reference quirk (cov_to_bed.cpp:229-285)
+ - CHH: fwd sites at the C, rev sites at their own G, motif name from the
+   forward motif table (cov_to_bed.cpp:373-391)
+
+Output columns: chr start end freq% pcov ncov motif.
+"""
+from __future__ import annotations
+
+import gzip
+import sys
+
+import numpy as np
+
+from ..constants import (FWD_CHH_MOTIFS, FWD_CHH_IDX, REV_CHH_IDX,
+                         IUPACNA_TO_CODE)
+from ..io.fasta import FastaDatabase
+from ..utils.logging import log
+
+_C, _G = ord("C"), ord("G")
+
+
+def _motif_hash_at(seq: np.ndarray, off: int) -> int:
+    h = 0
+    for k in range(3):
+        c = int(IUPACNA_TO_CODE[seq[off + k]])
+        if c > 3:
+            return 64
+        h = (h << 2) | c
+    return h
+
+
+class _ChrAccum:
+    def __init__(self, size: int):
+        self.pcov = np.zeros(size, np.int64)
+        self.ncov = np.zeros(size, np.int64)
+        self.motif = [None] * size
+
+    def set(self, off: int, pcov: int, ncov: int, motif: str):
+        self.pcov[off] = pcov
+        self.ncov[off] = ncov
+        self.motif[off] = motif
+
+    def add(self, off: int, pcov: int, ncov: int, motif: str,
+            keep_existing_motif: bool = False):
+        self.pcov[off] += pcov
+        self.ncov[off] += ncov
+        if not (keep_existing_motif and self.motif[off]):
+            self.motif[off] = motif
+
+
+def _dump_chr(out, name: str, acc: _ChrAccum) -> None:
+    for i in np.flatnonzero(np.asarray([m is not None for m in acc.motif])):
+        cov = int(acc.pcov[i] + acc.ncov[i])
+        freq = 100.0 * acc.pcov[i] / cov
+        out.write(f"{name}\t{i}\t{i + 1}\t{freq:g}\t{int(acc.pcov[i])}"
+                  f"\t{int(acc.ncov[i])}\t{acc.motif[i]}\n")
+
+
+def run_cov2bed(reference_path: str, context: str, bismark_path: str,
+                bed_path: str) -> None:
+    ctx = context.upper()
+    if ctx not in ("CPG", "CHG", "CHH"):
+        print(f"Illegal 5mc context: {context}\n"
+              "Plausible contexts: CpG, CHG, CHH", file=sys.stderr)
+        raise SystemExit(1)
+    db = FastaDatabase(reference_path)
+    opener = gzip.open if bismark_path.endswith(".gz") else open
+    out = open(bed_path, "w")
+    acc: _ChrAccum | None = None
+    last_sid = -1
+    fs = rs = 0
+    with opener(bismark_path, "rt") as f:
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 6:
+                raise ValueError(f"corrupted bismark record {line!r}")
+            sid = db.seq_name2id(cols[0])
+            if sid != last_sid:
+                if last_sid != -1:
+                    _dump_chr(out, db.seq_name(last_sid), acc)
+                last_sid = sid
+                acc = _ChrAccum(db.seq_length(sid))
+            soff = int(cols[1])
+            send = int(cols[2])
+            if send != soff:
+                raise ValueError(f"bismark cov must have end==start: {line!r}")
+            pcov = int(cols[4])
+            ncov = int(cols[5])
+            soff -= 1
+            seq = db.seq_bases(sid)
+            L = len(seq)
+            c0 = seq[soff]
+
+            if ctx == "CPG":
+                if c0 == _C and soff + 1 < L and seq[soff + 1] == _G:
+                    acc.set(soff, pcov, ncov, "CG")
+                    fs += 1
+                if c0 == _G and soff - 1 >= 0 and seq[soff - 1] == _C:
+                    acc.add(soff - 1, pcov, ncov, "CG")
+                    rs += 1
+            elif ctx == "CHG":
+                if c0 == _C and soff + 2 < L:
+                    c1, c2 = seq[soff + 1], seq[soff + 2]
+                    if c2 == _G and c1 in (ord("C"), ord("A"), ord("T")):
+                        acc.set(soff, pcov, ncov, "C" + chr(c1) + "G")
+                        fs += 1
+                if c0 == _G and soff - 2 >= 0:
+                    c1, c2 = seq[soff - 1], seq[soff - 2]
+                    if c2 == _C and c1 == _G:
+                        # genome CGG: kept at the G's own position
+                        acc.set(soff, pcov, ncov, "CCG")
+                        rs += 1
+                    elif c2 == _C and c1 in (ord("A"), ord("T")):
+                        acc.add(soff - 2, pcov, ncov, "C" + chr(c1) + "G",
+                                keep_existing_motif=True)
+                        rs += 1
+            else:  # CHH
+                if c0 == _C and soff + 2 < L:
+                    h = _motif_hash_at(seq, soff)
+                    if h < 64 and FWD_CHH_IDX[h] != 255:
+                        acc.set(soff, pcov, ncov,
+                                FWD_CHH_MOTIFS[FWD_CHH_IDX[h]])
+                        fs += 1
+                elif c0 == _G and soff - 2 >= 0:
+                    h = _motif_hash_at(seq, soff - 2)
+                    if h < 64 and REV_CHH_IDX[h] != 255:
+                        acc.set(soff, pcov, ncov,
+                                FWD_CHH_MOTIFS[REV_CHH_IDX[h]])
+                        rs += 1
+    if acc is not None and last_sid != -1:
+        _dump_chr(out, db.seq_name(last_sid), acc)
+    out.close()
+    log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)

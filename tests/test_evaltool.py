@@ -1,0 +1,85 @@
+import numpy as np
+
+from hifimeth_tpu.tools.evaltool import (load_bismark_labels, oversample,
+                                         run_eval)
+from hifimeth_tpu.tools.sample import run_sample
+
+from test_pileup import make_mapped_mod_bam
+from util import make_kinetics_read, write_bam
+
+
+def test_load_bismark_labels(tmp_path):
+    bed = tmp_path / "l.bed"
+    bed.write_text(
+        "c1\t5\t6\t0\t12\t0\n"      # fully methylated, cov>=10 -> label 1
+        "c1\t9\t10\t0\t0\t15\n"     # fully unmethylated -> label 0
+        "c1\t20\t21\t0\t5\t4\n"     # cov < 10 -> skip
+        "c1\t30\t31\t0\t6\t6\n"     # mixed -> skip
+    )
+    labels = load_bismark_labels({"c1": 100}, str(bed))
+    arr = labels["c1"]
+    assert arr[5] == 1 and arr[9] == 0
+    assert arr[20] == -1 and arr[30] == -1
+
+
+def test_oversample():
+    a = np.arange(10, dtype=np.uint8)
+    out = oversample(a, "CpG", "positive", target=100)
+    # x = 2*(2*100//10) = 40 copies
+    assert len(out) == 400
+    assert np.array_equal(out[:10], a)
+    big = np.arange(200, dtype=np.uint8)
+    assert oversample(big, "CpG", "positive", target=100) is big
+
+
+def test_run_eval_end_to_end(tmp_path):
+    rng = np.random.default_rng(21)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=40)
+    # label every CpG/CHH-ish position with alternating labels
+    bed = tmp_path / "labels.bed"
+    rows = []
+    for ci, (name, seq) in enumerate(chroms.items()):
+        for i, ch in enumerate(seq):
+            if ch in "CG" and i % 3 != 2:
+                if i % 2:
+                    rows.append(f"{name}\t{i}\t{i + 1}\t100\t12\t0")
+                else:
+                    rows.append(f"{name}\t{i}\t{i + 1}\t0\t0\t12")
+    bed.write_text("\n".join(rows) + "\n")
+    res = run_eval(str(fasta), str(bed), str(bam),
+                   str(tmp_path / "rl"), seed=0, replicates=2)
+    assert len(res["thresholds"]) == 3
+    # files only written for contexts with both classes present; validate any
+    # produced file structure: rows 'label predict prob'
+    import glob
+    files = glob.glob(str(tmp_path / "rl.*.0"))
+    for f in files:
+        with open(f) as fh:
+            first = fh.readline().split("\t")
+        assert first[0] in ("0", "1") and first[1] in ("0", "1")
+        assert 0.0 <= float(first[2]) <= 1.0
+
+
+def test_sample_tool(tmp_path):
+    rng = np.random.default_rng(5)
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(">c1\n" + "ACGT" * 2500 + "\n")   # 10 kb genome
+    recs = []
+    for i in range(30):
+        recs.append(make_kinetics_read(rng, f"r{i}", 6000))
+    recs.append(make_kinetics_read(rng, "short", 1000))   # < 5 kb, invalid
+    nok = make_kinetics_read(rng, "nokin", 6000)
+    for t in ("fi", "ri", "fp", "rp"):
+        nok.del_tag(t)
+    recs.append(nok)
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    out_bam = tmp_path / "out.bam"
+    stats = run_sample(str(fasta), str(in_bam), 3, str(out_bam), seed=1)
+    # target = 30 kb; each valid read is 6 kb -> 5 reads expected
+    assert stats["bases"] >= 30000
+    assert stats["reads"] == 5
+    from hifimeth_tpu.io.bam import BamReader
+    got = list(BamReader(out_bam))
+    assert len(got) == 5
+    assert all(r.qname not in ("short", "nokin") for r in got)
