@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end all-context `call` throughput in 5mC sites/s.
+
+Baseline derivation (BASELINE.md): the reference calls a 30x Arabidopsis
+genome (~4.05 Gbp of reads) in ~2 h on 48 CPU threads.  All-context
+candidate-site density at GC~=0.36 is ~0.30 sites/bp (fwd C's + rev-CHH G's),
+giving ~1.2e9 CNN samples / 7200 s ~= 1.7e5 sites/s.
+
+Run: python bench.py [--reads N] [--read-len L] [--dtype bf16|f32]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers (device-only throughput, bases/s) go to stderr.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SITES_PER_SEC = 1.7e5
+
+
+def make_synthetic_bam(path, n_reads, read_len, seed=0):
+    import numpy as np
+    from hifimeth_tpu.io.bam import BamHeader, BamRecord, BamWriter
+
+    rng = np.random.default_rng(seed)
+    hdr = BamHeader("@HD\tVN:1.6\tSO:unknown\n", [])
+    total_sites = 0
+    with BamWriter(path, hdr, threads=8, level=1) as w:
+        for i in range(n_reads):
+            rec = BamRecord(qname=f"m/{i}/ccs", flag=4)
+            seq = rng.choice(list(b"ACGT"), read_len).astype(np.uint8)
+            rec.set_seq(seq, qual=np.full(read_len, 40, np.uint8))
+            for tag in ("fi", "ri", "fp", "rp"):
+                rec.set_tag(tag, "B", ("C", rng.integers(0, 256, read_len).astype(np.uint8)))
+            rec.set_tag("fn", "C", 5)
+            rec.set_tag("rn", "C", 5)
+            w.write(rec)
+    return path
+
+
+def count_sites(bam_path):
+    import numpy as np
+    from hifimeth_tpu.features import sites as sitefind
+    from hifimeth_tpu.features.read_decode import native_fwd_seq
+    from hifimeth_tpu.io.bam import BamReader
+
+    total = 0
+    for rec in BamReader(bam_path):
+        seq = native_fwd_seq(rec)
+        total += len(sitefind.cpg_sites(seq))
+        total += len(sitefind.chg_sites(seq))
+        total += len(sitefind.chh_sites(seq)[0])
+    return total
+
+
+def bench_device_only(dtype, n_iters=20, site_batch=8192, cap=1 << 21, seed=0):
+    """Pure device pipeline: featurize + gather + 3-context CNN."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hifimeth_tpu.engine.call import ModelSet, default_model_dir
+    from hifimeth_tpu.features.windows import call_sites, featurize_planes
+
+    rng = np.random.default_rng(seed)
+    models = ModelSet(default_model_dir())
+    planes = rng.integers(0, 255, (5, cap)).astype(np.uint8)
+    planes[0] = rng.integers(0, 4, cap)
+    feats = featurize_planes(jnp.asarray(planes))
+    centers = rng.integers(200, cap - 200, site_batch).astype(np.int32)
+    strands = rng.integers(0, 2, site_batch).astype(np.uint8)
+    rstart = np.zeros(site_batch, np.int32)
+    rend = np.full(site_batch, cap, np.int32)
+    args = [jnp.asarray(a) for a in (centers, strands, rstart, rend)]
+    cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+    ctxs = list(models.params)
+    # warmup/compile
+    outs = [call_sites(models.params[c], feats, *args, kmer_size=models.kmer,
+                       compute_dtype=cd, spec=models.specs[c]) for c in ctxs]
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    for _ in range(n_iters):
+        outs = [call_sites(models.params[c], feats, *args,
+                           kmer_size=models.kmer, compute_dtype=cd,
+                           spec=models.specs[c]) for c in ctxs]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    return n_iters * site_batch * len(ctxs) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=300)
+    ap.add_argument("--read-len", type=int, default=15000)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--site-batch", type=int, default=16384)
+    args = ap.parse_args()
+    dtype = "bfloat16" if args.dtype == "bf16" else "float32"
+
+    import tempfile
+    from hifimeth_tpu.engine.call import CallConfig, run_call
+
+    with tempfile.TemporaryDirectory() as td:
+        bam = os.path.join(td, "bench.bam")
+        print(f"[bench] generating {args.reads} x {args.read_len} bp reads...",
+              file=sys.stderr)
+        make_synthetic_bam(bam, args.reads, args.read_len)
+        n_sites = count_sites(bam)
+        out_bam = os.path.join(td, "out.bam")
+
+        dev_rate = bench_device_only(dtype, site_batch=args.site_batch)
+        print(f"[bench] device-only: {dev_rate:,.0f} sites/s", file=sys.stderr)
+
+        cfg = CallConfig(compute_dtype=dtype, site_batch=args.site_batch)
+        # warm-up run compiles everything
+        run_call(bam, out_bam, cfg)
+        t0 = time.time()
+        stats = run_call(bam, out_bam, cfg)
+        dt = time.time() - t0
+
+    rate = n_sites / dt
+    bases = args.reads * args.read_len
+    print(f"[bench] e2e: {n_sites:,} sites, {bases / dt / 1e6:.1f} Mbases/s, "
+          f"{dt:.2f} s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "call_sites_per_sec",
+        "value": round(rate),
+        "unit": "sites/s",
+        "vs_baseline": round(rate / BASELINE_SITES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
