@@ -97,6 +97,7 @@ def main():
     ap.add_argument("--read-len", type=int, default=15000)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--site-batch", type=int, default=16384)
+    ap.add_argument("--conv-impl", default="auto", choices=["direct", "im2col", "auto"])
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"
 
@@ -111,10 +112,8 @@ def main():
         n_sites = count_sites(bam)
         out_bam = os.path.join(td, "out.bam")
 
-        dev_rate = bench_device_only(dtype, site_batch=args.site_batch)
-        print(f"[bench] device-only: {dev_rate:,.0f} sites/s", file=sys.stderr)
-
-        cfg = CallConfig(compute_dtype=dtype, site_batch=args.site_batch)
+        cfg = CallConfig(compute_dtype=dtype, site_batch=args.site_batch,
+                         conv_impl=args.conv_impl)
         # warm-up run compiles everything
         run_call(bam, out_bam, cfg)
         t0 = time.time()

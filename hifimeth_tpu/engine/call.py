@@ -19,6 +19,7 @@ Behavioral parity with the reference:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -28,7 +29,7 @@ import numpy as np
 from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
 from ..features.read_decode import decode_read, native_fwd_seq
-from ..features.windows import call_sites, featurize_planes
+from ..features.windows import call_sites_batched, featurize_planes
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -54,6 +55,7 @@ class CallConfig:
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
+    conv_impl: str = "auto"              # auto | direct | im2col
     io_threads: int = 8
 
     def resolve_model_dir(self) -> str:
@@ -98,21 +100,48 @@ class ModelSet:
             log("loaded %s model from %s (kmer=%d)", ctx, path, self.kmer)
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: the big one-dispatch-per-flush
+    programs compile once per (shape-bucket, dtype) ever, not once per
+    process.  Especially important when compiles round-trip a remote TPU."""
+    cache_dir = os.environ.get(
+        "HIFIMETH_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "hifimeth_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
+
+
 class CallEngine:
     def __init__(self, cfg: CallConfig):
         self.cfg = cfg
+        enable_compilation_cache()
         self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts)
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
         self._reset_buffer()
         self.stats = {ctx: 0 for ctx in cfg.contexts}
         self.stats.update(reads=0, bases=0, called_reads=0)
+        self.timers = {"decode": 0.0, "sites": 0.0, "pack": 0.0,
+                       "device_dispatch": 0.0, "device_wait": 0.0,
+                       "mmbuild": 0.0}
+
+    def log_timers(self):
+        import sys
+        total = sum(self.timers.values())
+        parts = ", ".join(f"{k}={v:.2f}s" for k, v in self.timers.items())
+        print(f"[engine timers] {parts} (sum {total:.2f}s)", file=sys.stderr)
 
     # -- packing -----------------------------------------------------------
     def _reset_buffer(self):
         cap = self.cfg.buffer_bases
         self._planes = np.zeros((5, cap), dtype=np.uint8)
-        self._fill = 0
+        # kmer-sized margins keep every window's contiguous slice in-bounds
+        # (features/windows.gather_windows_slice contract)
+        self._margin = self.models.kmer
+        self._fill = self._margin
         self._pending: list[_PendingRead] = []
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
                        for ctx in self.cfg.contexts}
@@ -137,16 +166,19 @@ class CallEngine:
         if rec.l_seq < self.cfg.min_read_size:
             self._pending.append(_PendingRead(rec))
             return
+        t0 = time.perf_counter()
         read = decode_read(rec)
+        self.timers["decode"] += time.perf_counter() - t0
         if read is None:
             self._pending.append(_PendingRead(rec))
             return
-        if read.size > self.cfg.buffer_bases:
+        if read.size > self.cfg.buffer_bases - 2 * self.models.kmer:
             raise ValueError(
                 f"read {rec.qname} ({read.size} bp) exceeds buffer capacity "
                 f"{self.cfg.buffer_bases}; raise --buffer-bases")
-        if self._fill + read.size > self.cfg.buffer_bases:
+        if self._fill + read.size > self.cfg.buffer_bases - self._margin:
             self.flush(out)
+        t0 = time.perf_counter()
         start = self._fill
         end = start + read.size
         self._planes[0, start:end] = read.codes
@@ -155,7 +187,9 @@ class CallEngine:
         self._planes[3, start:end] = read.ri
         self._planes[4, start:end] = read.rp
         self._fill = end
+        self.timers["pack"] += time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         pend = _PendingRead(rec, fwd_seq=read.seq)
         for ctx in self.cfg.contexts:
             offs, strands = self._find_sites(ctx, read.seq)
@@ -167,48 +201,68 @@ class CallEngine:
             s["rend"].append(np.full(len(offs), end, np.int32))
             pend.site_slices[ctx] = (lo, lo + len(offs), offs, strands)
             self.stats[ctx] += len(offs)
+        self.timers["sites"] += time.perf_counter() - t0
         self.stats["called_reads"] += 1
         self._pending.append(pend)
 
     # -- device flush ------------------------------------------------------
-    def _call_context(self, ctx: str, feats, s) -> np.ndarray:
+    @staticmethod
+    def _bucket_batches(nb: int) -> int:
+        """Round the per-flush batch count up to a power of two so the
+        one-dispatch-per-flush program compiles only O(log) times."""
+        b = 1
+        while b < nb:
+            b <<= 1
+        return b
+
+    def _call_context(self, ctx: str, feats, s):
+        """Dispatch all of this flush's sites for one context; returns a
+        device array future (fetch with np.asarray later to overlap the
+        three contexts)."""
         centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
         n = len(centers)
         if n == 0:
-            return np.empty(0, np.uint8)
+            return n, None
         strands = np.concatenate(s["strands"])
         rstart = np.concatenate(s["rstart"])
         rend = np.concatenate(s["rend"])
         bs = self.cfg.site_batch
-        pad = (-n) % bs
+        nb = self._bucket_batches((n + bs - 1) // bs)
+        pad = nb * bs - n
         if pad:
             centers = np.concatenate([centers, np.zeros(pad, np.int32)])
             strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
             rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
             rend = np.concatenate([rend, np.zeros(pad, np.int32)])
-        outs = []
-        params = self.models.params[ctx]
-        for i in range(0, len(centers), bs):
-            outs.append(call_sites(
-                params, feats,
-                jnp.asarray(centers[i:i + bs]), jnp.asarray(strands[i:i + bs]),
-                jnp.asarray(rstart[i:i + bs]), jnp.asarray(rend[i:i + bs]),
-                kmer_size=self.models.kmer,
-                compute_dtype=self.compute_dtype,
-                spec=self.models.specs[ctx]))
-        probs = np.concatenate([np.asarray(o) for o in outs])
-        return probs[:n]
+        probs = call_sites_batched(
+            self.models.params[ctx], feats,
+            jnp.asarray(centers), jnp.asarray(strands),
+            jnp.asarray(rstart), jnp.asarray(rend),
+            site_batch=bs, kmer_size=self.models.kmer,
+            compute_dtype=self.compute_dtype, spec=self.models.specs[ctx],
+            conv_impl=self.cfg.conv_impl)
+        return n, probs
 
     def flush(self, out: list):
         """Run the device pipeline on the packed buffer, attach MM/ML/MN, and
         append finished records to `out` in input order."""
         if self._fill > 0:
+            t0 = time.perf_counter()
             feats = featurize_planes(jnp.asarray(self._planes))
-            probs = {ctx: self._call_context(ctx, feats, self._sites[ctx])
-                     for ctx in self.cfg.contexts}
+            # dispatch all contexts first (async), then fetch - overlaps the
+            # three device programs with each other and with the D2H copies
+            futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
+                       for ctx in self.cfg.contexts}
+            self.timers["device_dispatch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            probs = {ctx: (np.asarray(f)[:n] if f is not None
+                           else np.empty(0, np.uint8))
+                     for ctx, (n, f) in futures.items()}
+            self.timers["device_wait"] += time.perf_counter() - t0
         else:
             probs = {ctx: np.empty(0, np.uint8) for ctx in self.cfg.contexts}
 
+        t0 = time.perf_counter()
         for pend in self._pending:
             rec = pend.rec
             if pend.fwd_seq is None:
@@ -230,6 +284,7 @@ class CallEngine:
             build_mod_tags(rec, pend.fwd_seq, fq[fo], fp[fo], rq[ro], rp[ro],
                            keep_kinetics=self.cfg.keep_kinetics)
             out.append(rec)
+        self.timers["mmbuild"] += time.perf_counter() - t0
         self._reset_buffer()
 
 
@@ -265,6 +320,7 @@ def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
     import sys
 
     s = engine.stats
+    engine.log_timers()
     log("Done.")
     print("******** Final stats:", file=sys.stderr)
     print(f"  ## Reads: {s['reads']}", file=sys.stderr)

@@ -69,6 +69,38 @@ def gather_windows(feats: jax.Array, centers: jax.Array, strands: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("kmer_size",))
+def gather_windows_slice(feats: jax.Array, centers: jax.Array,
+                         strands: jax.Array, rstart: jax.Array,
+                         rend: jax.Array,
+                         kmer_size: int = KMER_SIZE) -> jax.Array:
+    """Contiguous-slice window gather: (B, kmer, 8) via batched dynamic_slice.
+
+    A site's window is kmer CONSECUTIVE rows of the per-base feature table,
+    so one 12.8 KB contiguous copy per site replaces a row-gather of
+    B*kmer 32-byte rows (which TPU XLA lowers to scalar-unit gathers).
+    Reverse-strand windows are the flipped ascending slice with the
+    complement/swap channel permutation - no descending indexing needed.
+
+    Caller contract: centers-hk and centers+hk must be in-bounds of `feats`
+    (the engine packs reads with a kmer-sized zero margin); out-of-read
+    positions are zeroed via rstart/rend masking as in gather_windows.
+    """
+    hk = kmer_size // 2
+    starts = (centers - hk).astype(jnp.int32)
+
+    def slice_one(st):
+        return jax.lax.dynamic_slice(feats, (st, 0), (kmer_size, feats.shape[1]))
+
+    w = jax.vmap(slice_one)(starts)                  # (B, kmer, 8) ascending
+    j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
+    pos = centers[:, None].astype(jnp.int32) + j[None, :]
+    valid = (pos >= rstart[:, None]) & (pos < rend[:, None])
+    w = w * valid[..., None].astype(w.dtype)
+    w_rev = jnp.flip(w, axis=1)[..., jnp.asarray(REV_CHANNEL_PERM)]
+    return jnp.where((strands != 0)[:, None, None], w_rev, w)
+
+
+@partial(jax.jit, static_argnames=("kmer_size",))
 def gather_and_featurize(planes_t: jax.Array, centers: jax.Array,
                          strands: jax.Array, rstart: jax.Array,
                          rend: jax.Array,
@@ -113,3 +145,43 @@ def call_sites(params, feats: jax.Array, centers: jax.Array,
     w = gather_windows(feats, centers, strands, rstart, rend, kmer_size)
     logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype, spec=spec)
     return logits_to_scaled_probs(logits)
+
+
+@partial(jax.jit, static_argnames=("site_batch", "kmer_size", "compute_dtype",
+                                   "spec", "conv_impl"))
+def call_sites_batched(params, feats: jax.Array, centers: jax.Array,
+                       strands: jax.Array, rstart: jax.Array,
+                       rend: jax.Array, site_batch: int,
+                       kmer_size: int = KMER_SIZE,
+                       compute_dtype=jnp.float32,
+                       spec: tuple | None = None,
+                       conv_impl: str = "direct") -> jax.Array:
+    """All sites of a flush in ONE device dispatch.
+
+    The flat site arrays (length = n_batches * site_batch, host-padded) are
+    reshaped to (n_batches, site_batch) and processed with lax.map - a single
+    XLA program per flush instead of one dispatch + 4 H2D transfers per
+    batch, which matters when device round-trip latency is high (remote TPU
+    tunnels, congested PCIe).  VMEM stays bounded by one site_batch of
+    windows.
+
+    Uses the contiguous-slice gather (gather_windows_slice), so the engine
+    must pack reads with a kmer-sized margin at both buffer ends.
+    """
+    n = centers.shape[0]
+    assert n % site_batch == 0, "host must pad sites to a site_batch multiple"
+    nb = n // site_batch
+
+    def one(batch):
+        c, s, rs, re = batch
+        w = gather_windows_slice(feats, c, s, rs, re, kmer_size)
+        w = jax.lax.optimization_barrier(w)
+        logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
+                                 spec=spec, conv_impl=conv_impl)
+        return logits_to_scaled_probs(logits)
+
+    probs = jax.lax.map(one, (centers.reshape(nb, site_batch),
+                              strands.reshape(nb, site_batch),
+                              rstart.reshape(nb, site_batch),
+                              rend.reshape(nb, site_batch)))
+    return probs.reshape(n)

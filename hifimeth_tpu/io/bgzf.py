@@ -41,7 +41,11 @@ def _compress_block(payload: bytes, level: int) -> bytes:
 
 
 class BgzfWriter(io.RawIOBase):
-    """Streaming BGZF writer with threaded block compression."""
+    """Streaming BGZF writer.
+
+    Uses the native core (src/native/bamcore.cpp) to compress many blocks per
+    call with C threads when available; otherwise falls back to per-block
+    zlib in a Python thread pool."""
 
     def __init__(self, path_or_fh, level: int = 6, threads: int = 4):
         if hasattr(path_or_fh, "write"):
@@ -51,13 +55,24 @@ class BgzfWriter(io.RawIOBase):
             self._fh = open(path_or_fh, "wb")
             self._owns = True
         self._level = level
+        self._threads = max(1, threads)
         self._buf = bytearray()
+        from . import native
+        self._native = native if native.available() else None
+        self._native_chunk = MAX_BLOCK_UNCOMPRESSED * max(8, threads * 4)
         self._pool = ThreadPoolExecutor(max_workers=max(1, threads)) if threads > 1 else None
         self._pending: list = []
         self._max_pending = max(2, threads * 4)
 
     def write(self, data) -> int:
         self._buf.extend(data)
+        if self._native is not None:
+            while len(self._buf) >= self._native_chunk:
+                chunk = bytes(self._buf[:self._native_chunk])
+                del self._buf[:self._native_chunk]
+                self._fh.write(self._native.bgzf_compress_buffer(
+                    chunk, self._level, self._threads))
+            return len(data)
         while len(self._buf) >= MAX_BLOCK_UNCOMPRESSED:
             chunk = bytes(self._buf[:MAX_BLOCK_UNCOMPRESSED])
             del self._buf[:MAX_BLOCK_UNCOMPRESSED]
@@ -80,7 +95,11 @@ class BgzfWriter(io.RawIOBase):
         if self._buf:
             chunk = bytes(self._buf)
             self._buf.clear()
-            self._submit(chunk)
+            if self._native is not None:
+                self._fh.write(self._native.bgzf_compress_buffer(
+                    chunk, self._level, self._threads))
+            else:
+                self._submit(chunk)
 
     def close(self) -> None:
         if self.closed:
@@ -118,12 +137,33 @@ class BgzfReader(io.RawIOBase):
         else:
             self._fh = open(path_or_fh, "rb")
             self._owns = True
+        self._threads = max(1, threads)
+        from . import native
+        self._native = native if native.available() else None
+        self._comp_rem = b""
         self._pool = ThreadPoolExecutor(max_workers=max(1, threads)) if threads > 1 else None
         self._prefetch = prefetch_blocks
         self._futures: list = []
         self._eof = False
         self._cur = b""
         self._cur_off = 0
+
+    def _native_payload(self) -> bytes | None:
+        """Read a large compressed chunk and inflate it with C threads."""
+        import numpy as np
+
+        while True:
+            chunk = self._fh.read(8 << 20)
+            if not chunk and not self._comp_rem:
+                return None
+            comp = self._comp_rem + chunk
+            payload, consumed = self._native.bgzf_inflate_buffer(
+                np.frombuffer(comp, np.uint8), self._threads)
+            self._comp_rem = comp[consumed:]
+            if not chunk and payload == b"" and self._comp_rem:
+                raise ValueError("truncated BGZF stream")
+            if payload or not chunk:
+                return payload if payload else None
 
     def _read_compressed_block(self) -> tuple[bytes, int] | None:
         head = self._fh.read(12)
@@ -158,6 +198,8 @@ class BgzfReader(io.RawIOBase):
                 self._futures.append(self._pool.submit(_inflate_member, comp, xlen))
 
     def _next_payload(self) -> bytes | None:
+        if self._native is not None:
+            return self._native_payload()
         self._fill_pipeline()
         if not self._futures:
             return None

@@ -1,0 +1,154 @@
+"""ctypes bridge to the native I/O core (src/native/bamcore.cpp).
+
+Loads hifimeth_tpu/io/libbamcore.so when present; every entry point has a
+pure-Python/numpy fallback so the framework works without the native build
+(`make -C src/native` to enable it).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "libbamcore.so")
+    if not os.path.exists(path):
+        _LIB = False
+        return _LIB
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _LIB = False
+        return _LIB
+    c_i64 = ctypes.c_int64
+    c_i32 = ctypes.c_int32
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.hm_bgzf_scan.restype = c_i64
+    lib.hm_bgzf_scan.argtypes = [u8p, c_i64, i64p, i32p, c_i64, i64p]
+    lib.hm_bgzf_inflate.restype = c_i32
+    lib.hm_bgzf_inflate.argtypes = [u8p, i64p, i32p, c_i64, u8p, i64p, i32p, c_i32]
+    lib.hm_bgzf_compress.restype = c_i64
+    lib.hm_bgzf_compress.argtypes = [u8p, c_i64, u8p, c_i64, c_i32, c_i32, c_i32]
+    lib.hm_seq_unpack.restype = None
+    lib.hm_seq_unpack.argtypes = [u8p, c_i64, u8p]
+    lib.hm_revcomp.restype = None
+    lib.hm_revcomp.argtypes = [u8p, c_i64, u8p]
+    lib.hm_encode_codev1.restype = None
+    lib.hm_encode_codev1.argtypes = [u16p, c_i64, u8p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def bgzf_inflate_buffer(comp: np.ndarray, n_threads: int = 8):
+    """Inflate all complete BGZF blocks in `comp` (u8 array).
+
+    Returns (payload bytes, compressed bytes consumed) or None if the native
+    library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    comp = np.ascontiguousarray(comp, np.uint8)
+    max_blocks = len(comp) // 28 + 2
+    offsets = np.empty(max_blocks, np.int64)
+    sizes = np.empty(max_blocks, np.int32)
+    consumed = ctypes.c_int64(0)
+    n = lib.hm_bgzf_scan(
+        _u8p(comp), len(comp),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_blocks, ctypes.byref(consumed))
+    if n < 0:
+        raise ValueError("corrupt BGZF stream")
+    if n == 0:
+        return b"", 0
+    offsets = offsets[:n]
+    sizes = sizes[:n]
+    # pre-size output from each block's ISIZE footer
+    isz = np.empty(n, np.int64)
+    for i in range(n):
+        end = offsets[i] + sizes[i]
+        isz[i] = int(np.frombuffer(comp[end - 4:end], "<u4")[0])
+    out_offsets = np.zeros(n, np.int64)
+    np.cumsum(isz[:-1], out=out_offsets[1:])
+    total = int(isz.sum())
+    out = np.empty(max(total, 1), np.uint8)
+    out_sizes = np.empty(n, np.int32)
+    r = lib.hm_bgzf_inflate(
+        _u8p(comp),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        _u8p(out),
+        out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    if r != 0:
+        raise ValueError(f"BGZF inflate failed (code {r})")
+    return out[:total].tobytes(), int(consumed.value)
+
+
+def bgzf_compress_buffer(raw: bytes, level: int = 6, n_threads: int = 8):
+    """Compress a raw buffer into BGZF blocks (no EOF marker); None if
+    unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    arr = np.frombuffer(raw, np.uint8)
+    if len(arr) == 0:
+        return b""
+    cap = len(arr) + (len(arr) // 65280 + 2) * 1024 + 1024
+    out = np.empty(cap, np.uint8)
+    r = lib.hm_bgzf_compress(_u8p(np.ascontiguousarray(arr)), len(arr),
+                             _u8p(out), cap, level, 65280, n_threads)
+    if r < 0:
+        raise ValueError("BGZF compress failed")
+    return out[:r].tobytes()
+
+
+def seq_unpack(nibbles: bytes, l_seq: int):
+    lib = _load()
+    if not lib:
+        return None
+    arr = np.frombuffer(nibbles, np.uint8)
+    out = np.empty(l_seq, np.uint8)
+    lib.hm_seq_unpack(_u8p(np.ascontiguousarray(arr)), l_seq, _u8p(out))
+    return out
+
+
+def revcomp(seq: np.ndarray):
+    lib = _load()
+    if not lib:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    out = np.empty(len(seq), np.uint8)
+    lib.hm_revcomp(_u8p(seq), len(seq), _u8p(out))
+    return out
+
+
+def encode_codev1(frames: np.ndarray):
+    lib = _load()
+    if not lib:
+        return None
+    frames = np.ascontiguousarray(frames, np.uint16)
+    out = np.empty(len(frames), np.uint8)
+    lib.hm_encode_codev1(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        len(frames), _u8p(out))
+    return out

@@ -145,9 +145,27 @@ def conv_spec(params: Params) -> tuple[tuple[int, int, int], ...]:
                  for c in params["convs"])
 
 
+def _conv1d_im2col(h: jax.Array, w: jax.Array, stride: int, lo: int,
+                   hi: int) -> jax.Array:
+    """Strided Conv1d as one big matmul: unfold K strided column slices and
+    contract (B*Lo, K*Cin) @ (K*Cin, Cout) on the MXU.  Avoids TPU conv
+    lowering overhead for small channel counts."""
+    K, Cin, Cout = w.shape
+    B, L, C = h.shape
+    hp = jnp.pad(h, ((0, 0), (lo, hi), (0, 0)))
+    Lo = (L + lo + hi - K) // stride + 1
+    cols = [jax.lax.slice(hp, (0, k, 0), (B, k + stride * (Lo - 1) + 1, C),
+                          (1, stride, 1)) for k in range(K)]
+    patches = jnp.concatenate(cols, axis=-1)          # (B, Lo, K*Cin)
+    wmat = w.reshape(K * Cin, Cout)
+    return jax.lax.dot_general(patches, wmat, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def dnamodnet_apply(params: Params, x: jax.Array, *,
                     compute_dtype=jnp.float32,
-                    spec: tuple[tuple[int, int, int], ...] | None = None) -> jax.Array:
+                    spec: tuple[tuple[int, int, int], ...] | None = None,
+                    conv_impl: str = "direct") -> jax.Array:
     """Forward pass: x (B, kmer, feat) float -> logits (B, 2) float32.
 
     Matches the reference forward (model_cnn.py:76-85) with BN folded.  With
@@ -166,13 +184,22 @@ def dnamodnet_apply(params: Params, x: jax.Array, *,
     h = h.astype(compute_dtype)
     for conv, (stride, lo, hi) in zip(params["convs"], spec):
         w = jnp.asarray(conv["w"], dtype=compute_dtype)
-        h = jax.lax.conv_general_dilated(
-            h, w,
-            window_strides=(stride,),
-            padding=[(lo, hi)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-        )
+        K, cin, cout = w.shape
+        # "auto": im2col where the channel count is far below the 128-lane
+        # MXU width (the first conv has Cin=8; direct lowering pads channels
+        # to 128 and wastes 16x the MACs - the dominant cost of this model)
+        use_im2col = (conv_impl == "im2col" or
+                      (conv_impl == "auto" and cin * K <= 256))
+        if use_im2col:
+            h = _conv1d_im2col(h, w, stride, lo, hi)
+        else:
+            h = jax.lax.conv_general_dilated(
+                h, w,
+                window_strides=(stride,),
+                padding=[(lo, hi)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+            )
         h = jnp.maximum(h + jnp.asarray(conv["b"]), 0.0).astype(compute_dtype)
     # torch flattens (B, C, L) channel-major; we carry NWC = (B, L, C).
     B, L, C = h.shape

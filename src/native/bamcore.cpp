@@ -1,0 +1,220 @@
+// bamcore: native I/O core for hifimeth-tpu.
+//
+// TPU-native replacement for the role htslib's C core plays in the reference
+// (BGZF block codec + hot per-base transforms).  Exposed as a plain C ABI
+// consumed from Python via ctypes (hifimeth_tpu/io/native.py); the Python
+// implementations remain as a fallback when the library is not built.
+//
+// Functions:
+//   hm_bgzf_scan       - find BGZF block boundaries in a compressed buffer
+//   hm_bgzf_inflate    - parallel inflate of many blocks
+//   hm_bgzf_compress   - parallel deflate of a raw buffer into BGZF blocks
+//   hm_seq_unpack      - BAM 4-bit SEQ -> ASCII
+//   hm_revcomp         - reverse complement an ASCII sequence
+//   hm_encode_codev1   - raw kinetics frames -> codeV1 bytes
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF scan: returns number of complete blocks found; fills offsets[] (start
+// of each block) and sizes[] (compressed block size).  *consumed = bytes of
+// complete blocks.  Returns -1 on format error.
+int64_t hm_bgzf_scan(const uint8_t* data, int64_t len,
+                     int64_t* offsets, int32_t* sizes, int64_t max_blocks,
+                     int64_t* consumed) {
+    int64_t pos = 0;
+    int64_t n = 0;
+    while (pos + 18 <= len && n < max_blocks) {
+        if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, data + pos + 10, 2);
+        if (pos + 12 + xlen > len) break;
+        int64_t sub = pos + 12;
+        int64_t end = sub + xlen;
+        int32_t bsize = -1;
+        while (sub + 4 <= end) {
+            uint8_t si1 = data[sub], si2 = data[sub + 1];
+            uint16_t slen;
+            std::memcpy(&slen, data + sub + 2, 2);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                uint16_t bs;
+                std::memcpy(&bs, data + sub + 4, 2);
+                bsize = (int32_t)bs + 1;
+            }
+            sub += 4 + slen;
+        }
+        if (bsize < 0) return -1;
+        if (pos + bsize > len) break;
+        offsets[n] = pos;
+        sizes[n] = bsize;
+        ++n;
+        pos += bsize;
+    }
+    *consumed = pos;
+    return n;
+}
+
+// Inflate blocks [0, n_blocks) in parallel into out at out_offsets[i];
+// out_sizes[i] receives the decompressed size of block i (ISIZE is trusted
+// for pre-sizing by the caller; we verify).  Returns 0 on success.
+int32_t hm_bgzf_inflate(const uint8_t* data,
+                        const int64_t* offsets, const int32_t* sizes,
+                        int64_t n_blocks,
+                        uint8_t* out, const int64_t* out_offsets,
+                        int32_t* out_sizes, int32_t n_threads) {
+    std::atomic<int64_t> next(0);
+    std::atomic<int32_t> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_blocks || err.load()) return;
+            const uint8_t* blk = data + offsets[i];
+            uint16_t xlen;
+            std::memcpy(&xlen, blk + 10, 2);
+            const uint8_t* comp = blk + 12 + xlen;
+            int64_t comp_len = sizes[i] - 12 - xlen - 8;
+            uint32_t isize;
+            std::memcpy(&isize, blk + sizes[i] - 4, 4);
+
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, -15) != Z_OK) { err.store(1); return; }
+            zs.next_in = const_cast<uint8_t*>(comp);
+            zs.avail_in = (uInt)comp_len;
+            zs.next_out = out + out_offsets[i];
+            zs.avail_out = isize ? isize : 1;  // empty EOF block
+            int r = inflate(&zs, Z_FINISH);
+            if (!(r == Z_STREAM_END || (r == Z_BUF_ERROR && isize == 0))) {
+                inflateEnd(&zs);
+                err.store(2);
+                return;
+            }
+            out_sizes[i] = (int32_t)zs.total_out;
+            inflateEnd(&zs);
+            if ((uint32_t)zs.total_out != isize) { err.store(3); return; }
+        }
+    };
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_blocks));
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+    return err.load();
+}
+
+// Compress raw into BGZF blocks of block_size uncompressed bytes each.
+// out must have room (worst case ~ len + n_blocks*64 + 128).  Returns total
+// output bytes or -1 on error.  Does NOT append the EOF marker.
+int64_t hm_bgzf_compress(const uint8_t* raw, int64_t len,
+                         uint8_t* out, int64_t out_cap,
+                         int32_t level, int32_t block_size,
+                         int32_t n_threads) {
+    if (block_size <= 0 || block_size > 65280) block_size = 65280;
+    int64_t n_blocks = (len + block_size - 1) / block_size;
+    if (n_blocks == 0) return 0;
+    std::vector<std::vector<uint8_t>> results(n_blocks);
+    std::atomic<int64_t> next(0);
+    std::atomic<int32_t> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_blocks || err.load()) return;
+            const uint8_t* src = raw + i * block_size;
+            int64_t src_len = std::min<int64_t>(block_size, len - i * block_size);
+            std::vector<uint8_t>& dst = results[i];
+            dst.resize(src_len + 1024);
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                             Z_DEFAULT_STRATEGY) != Z_OK) { err.store(1); return; }
+            zs.next_in = const_cast<uint8_t*>(src);
+            zs.avail_in = (uInt)src_len;
+            zs.next_out = dst.data() + 18;
+            zs.avail_out = (uInt)(dst.size() - 26);
+            if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+                deflateEnd(&zs);
+                err.store(2);
+                return;
+            }
+            int64_t clen = zs.total_out;
+            deflateEnd(&zs);
+            int64_t total = clen + 26;
+            // gzip header + BC subfield
+            uint8_t h[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                             6, 0, 66, 67, 2, 0, 0, 0};
+            uint16_t bsize = (uint16_t)(total - 1);
+            std::memcpy(h + 16, &bsize, 2);
+            std::memcpy(dst.data(), h, 18);
+            uint32_t crc = crc32(0, src, (uInt)src_len);
+            uint32_t isize = (uint32_t)src_len;
+            std::memcpy(dst.data() + 18 + clen, &crc, 4);
+            std::memcpy(dst.data() + 18 + clen + 4, &isize, 4);
+            dst.resize(total);
+        }
+    };
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_blocks));
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+    if (err.load()) return -1;
+    int64_t total = 0;
+    for (auto& r : results) total += (int64_t)r.size();
+    if (total > out_cap) return -1;
+    int64_t off = 0;
+    for (auto& r : results) {
+        std::memcpy(out + off, r.data(), r.size());
+        off += (int64_t)r.size();
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+static const char kNibbleBase[17] = "=ACMGRSVTWYHKDBN";
+
+void hm_seq_unpack(const uint8_t* nibbles, int64_t l_seq, uint8_t* out) {
+    int64_t i = 0;
+    for (; i + 1 < l_seq; i += 2) {
+        uint8_t b = nibbles[i >> 1];
+        out[i] = kNibbleBase[b >> 4];
+        out[i + 1] = kNibbleBase[b & 0xF];
+    }
+    if (i < l_seq) out[i] = kNibbleBase[nibbles[i >> 1] >> 4];
+}
+
+void hm_revcomp(const uint8_t* seq, int64_t len, uint8_t* out) {
+    static uint8_t comp[256];
+    static bool init = false;
+    if (!init) {
+        std::memset(comp, 'N', 256);
+        const char* a = "ACGTacgtNn";
+        const char* b = "TGCATGCANN";
+        for (int i = 0; a[i]; ++i) comp[(uint8_t)a[i]] = (uint8_t)b[i];
+        init = true;
+    }
+    for (int64_t i = 0; i < len; ++i) out[i] = comp[seq[len - 1 - i]];
+}
+
+void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
+    for (int64_t i = 0; i < len; ++i) {
+        int32_t s = frames[i];
+        if (s > 952) s = 952;
+        uint8_t t;
+        if (s >= 448) t = (uint8_t)((s - 448) / 8 + 192);
+        else if (s >= 192) t = (uint8_t)((s - 192) / 4 + 128);
+        else if (s >= 64) t = (uint8_t)((s - 64) / 2 + 64);
+        else t = (uint8_t)s;
+        out[i] = t;
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,48 @@
+import numpy as np
+
+import jax.numpy as jnp
+
+from hifimeth_tpu.constants import FWD, REV
+from hifimeth_tpu.features.windows import (featurize_planes, gather_windows,
+                                           gather_windows_slice)
+
+
+def test_slice_gather_matches_row_gather():
+    rng = np.random.default_rng(0)
+    cap = 4096
+    margin = 401
+    planes = np.zeros((5, cap), np.uint8)
+    # reads live inside the margins
+    planes[0, margin:cap - margin] = rng.integers(0, 4, cap - 2 * margin)
+    planes[1:, margin:cap - margin] = rng.integers(0, 256, (4, cap - 2 * margin))
+    B = 64
+    centers = rng.integers(margin, cap - margin, B).astype(np.int32)
+    strands = rng.integers(0, 2, B).astype(np.uint8)
+    # read bounds: a single big "read" spanning the fill region, plus some
+    # tighter bounds to exercise masking
+    rstart = np.full(B, margin, np.int32)
+    rend = np.full(B, cap - margin, np.int32)
+    rstart[::3] = centers[::3] - 37
+    rend[::5] = centers[::5] + 11
+
+    feats = featurize_planes(jnp.asarray(planes))
+    a = np.asarray(gather_windows(feats, jnp.asarray(centers),
+                                  jnp.asarray(strands), jnp.asarray(rstart),
+                                  jnp.asarray(rend)))
+    b = np.asarray(gather_windows_slice(feats, jnp.asarray(centers),
+                                        jnp.asarray(strands),
+                                        jnp.asarray(rstart),
+                                        jnp.asarray(rend)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_slice_gather_padded_dummy_sites():
+    # dummy padded sites (center 0, empty read bounds) must produce all-zero
+    # windows even though the slice start clamps
+    planes = np.random.default_rng(1).integers(0, 256, (5, 2048)).astype(np.uint8)
+    feats = featurize_planes(jnp.asarray(planes))
+    out = np.asarray(gather_windows_slice(
+        feats, jnp.asarray(np.zeros(4, np.int32)),
+        jnp.asarray(np.array([0, 1, 0, 1], np.uint8)),
+        jnp.asarray(np.zeros(4, np.int32)), jnp.asarray(np.zeros(4, np.int32))))
+    assert (out == 0).all()
