@@ -29,7 +29,8 @@ import numpy as np
 from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
 from ..features.read_decode import decode_read, native_fwd_seq
-from ..features.windows import call_sites_batched, featurize_planes
+from ..features.windows import (call_sites_batched, call_sites_dense,
+                                featurize_planes)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -55,7 +56,8 @@ class CallConfig:
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
-    conv_impl: str = "auto"              # auto | direct | im2col
+    conv_impl: str = "direct"            # direct | im2col | auto
+    dense_layer1: bool = False           # densified first conv (a trous)
     io_threads: int = 8
 
     def resolve_model_dir(self) -> str:
@@ -139,8 +141,11 @@ class CallEngine:
         cap = self.cfg.buffer_bases
         self._planes = np.zeros((5, cap), dtype=np.uint8)
         # kmer-sized margins keep every window's contiguous slice in-bounds
-        # (features/windows.gather_windows_slice contract)
+        # (features/windows.gather_windows_slice contract); seq-plane default
+        # 255 makes margins/gaps featurize to zero (dense-layer1 contract)
+        self._planes[0].fill(255)
         self._margin = self.models.kmer
+        self._gap = 16                   # >= K-1 zero gap between reads
         self._fill = self._margin
         self._pending: list[_PendingRead] = []
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
@@ -186,7 +191,7 @@ class CallEngine:
         self._planes[2, start:end] = read.fp
         self._planes[3, start:end] = read.ri
         self._planes[4, start:end] = read.rp
-        self._fill = end
+        self._fill = end + self._gap
         self.timers["pack"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -234,7 +239,8 @@ class CallEngine:
             strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
             rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
             rend = np.concatenate([rend, np.zeros(pad, np.int32)])
-        probs = call_sites_batched(
+        fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
+        probs = fn(
             self.models.params[ctx], feats,
             jnp.asarray(centers), jnp.asarray(strands),
             jnp.asarray(rstart), jnp.asarray(rend),
