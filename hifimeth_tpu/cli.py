@@ -27,6 +27,7 @@ COMMANDS:
   sample           Randomly subsample an unmapped kinetics BAM to a coverage
   eval             Extract read-level evaluation samples vs BS-seq labels
   read-level-eval  Score eval output files (accuracy/precision/.../AUC/AP)
+  merge-shards     Interleave per-host shard BAMs into global read order
   import-model     Convert reference ONNX models to native .npz
   train            Train a per-context DNAModNet on extracted features
   version          Print version
@@ -69,6 +70,13 @@ def _parse_call(argv):
             i += 2
         elif a == "--buffer-bases":
             cfg.buffer_bases = int(argv[i + 1]); i += 2
+        elif a == "--data-parallel":
+            cfg.data_parallel = True; i += 1
+        elif a == "--dense-layer1":
+            cfg.dense_layer1 = True; i += 1
+        elif a == "--shard":
+            shard_str = argv[i + 1]; i += 2
+            cfg._shard = shard_str  # parsed in main
         elif a.startswith("-") and len(a) > 1:
             raise SystemExit(f"ERROR: unrecognised option {a}")
         else:
@@ -101,10 +109,35 @@ def main(argv=None) -> int:
 
     if cmd == "call":
         from .engine.call import run_call
+        from .parallel.dist import ShardSpec, init_distributed
         cfg, pos = _parse_call(rest)
+        shard = init_distributed()
+        shard_str = getattr(cfg, "_shard", None)
+        if shard_str:
+            pid, nproc = shard_str.split("/")
+            shard = ShardSpec(process_id=int(pid), num_processes=int(nproc))
         program_banner(PROG, __version__)
         with program_info(PROG):
-            run_call(pos[0], pos[1], cfg, cmdline=" ".join([PROG] + argv))
+            run_call(pos[0], pos[1], cfg, cmdline=" ".join([PROG] + argv),
+                     shard=shard)
+        return 0
+
+    if cmd == "merge-shards":
+        from .parallel.dist import merge_shard_bams
+        batch = 10000
+        pos = []
+        i = 0
+        while i < len(rest):
+            if rest[i] in ("-b", "--batch-size"):
+                batch = int(rest[i + 1]); i += 2
+            else:
+                pos.append(rest[i]); i += 1
+        if len(pos) < 2:
+            print(f"USAGE:\n  {PROG} merge-shards [-b batch] out.bam "
+                  "shard0.bam shard1.bam ...", file=sys.stderr)
+            return 1
+        n = merge_shard_bams(pos[0], pos[1:], batch_size=batch)
+        log("merged %d records into %s", n, pos[0])
         return 0
 
     if cmd == "pileup":

@@ -30,7 +30,7 @@ from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
 from ..features.read_decode import decode_read, native_fwd_seq
 from ..features.windows import (call_sites_batched, call_sites_dense,
-                                featurize_planes)
+                                call_sites_grid, featurize_planes)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -58,6 +58,7 @@ class CallConfig:
     compute_dtype: str = "float32"       # or "bfloat16"
     conv_impl: str = "direct"            # direct | im2col | auto
     dense_layer1: bool = False           # densified first conv (a trous)
+    data_parallel: bool = False          # shard site batches over local chips
     io_threads: int = 8
 
     def resolve_model_dir(self) -> str:
@@ -123,6 +124,16 @@ class CallEngine:
         self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts)
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
+        self.mesh = None
+        if cfg.data_parallel and len(jax.local_devices()) > 1:
+            from ..parallel.mesh import make_mesh, replicated
+            self.mesh = make_mesh(n_data=len(jax.local_devices()), n_model=1,
+                                  devices=jax.local_devices())
+            rep = replicated(self.mesh)
+            self.models.params = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), self.models.params)
+            log("data-parallel call over %d local devices",
+                self.mesh.shape["data"])
         self._reset_buffer()
         self.stats = {ctx: 0 for ctx in cfg.contexts}
         self.stats.update(reads=0, bases=0, called_reads=0)
@@ -239,14 +250,23 @@ class CallEngine:
             strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
             rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
             rend = np.concatenate([rend, np.zeros(pad, np.int32)])
-        fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
-        probs = fn(
-            self.models.params[ctx], feats,
-            jnp.asarray(centers), jnp.asarray(strands),
-            jnp.asarray(rstart), jnp.asarray(rend),
-            site_batch=bs, kmer_size=self.models.kmer,
-            compute_dtype=self.compute_dtype, spec=self.models.specs[ctx],
-            conv_impl=self.cfg.conv_impl)
+        kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
+                  spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            nb_total = len(centers) // bs
+            args = [jax.device_put(a.reshape(nb_total, bs), sh)
+                    for a in (centers, strands, rstart, rend)]
+            probs = call_sites_grid(self.models.params[ctx], feats, *args,
+                                    **kw).reshape(-1)
+        else:
+            fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
+            probs = fn(
+                self.models.params[ctx], feats,
+                jnp.asarray(centers), jnp.asarray(strands),
+                jnp.asarray(rstart), jnp.asarray(rend),
+                site_batch=bs, **kw)
         return n, probs
 
     def flush(self, out: list):
@@ -254,7 +274,11 @@ class CallEngine:
         append finished records to `out` in input order."""
         if self._fill > 0:
             t0 = time.perf_counter()
-            feats = featurize_planes(jnp.asarray(self._planes))
+            planes_dev = jnp.asarray(self._planes)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicated
+                planes_dev = jax.device_put(self._planes, replicated(self.mesh))
+            feats = featurize_planes(planes_dev)
             # dispatch all contexts first (async), then fetch - overlaps the
             # three device programs with each other and with the D2H copies
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
@@ -295,19 +319,26 @@ class CallEngine:
 
 
 def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
-             cmdline: str = "hifimeth-tpu call") -> dict:
-    """End-to-end `call`: returns the stats dict."""
-    from .. import __version__
+             cmdline: str = "hifimeth-tpu call", shard=None) -> dict:
+    """End-to-end `call`: returns the stats dict.
 
+    With a multi-process ShardSpec, this process handles only its round-robin
+    read blocks and writes an ordered shard BAM (merge with
+    `hifimeth-tpu merge-shards`)."""
+    from .. import __version__
+    from ..parallel.dist import ShardSpec, shard_path, sharded_read_stream
+
+    shard = shard or ShardSpec()
     reader = BamReader(in_bam, threads=cfg.io_threads)
     header = reader.header.with_pg_line("hifimeth-tpu", __version__, cmdline)
-    writer = BamWriter(out_bam, header, threads=cfg.io_threads)
+    out_path = shard_path(out_bam, shard)
+    writer = BamWriter(out_path, header, threads=cfg.io_threads)
     engine = CallEngine(cfg)
 
     done: list[BamRecord] = []
     batch_idx = 0
     next_log = cfg.read_batch_size
-    for rec in reader:
+    for _read_id, rec in sharded_read_stream(reader, shard):
         engine.add_read(rec, done)
         if engine.stats["reads"] >= next_log:
             log("%10d reads processed", engine.stats["reads"])

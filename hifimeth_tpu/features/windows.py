@@ -281,6 +281,27 @@ def call_sites_dense(params, feats: jax.Array, centers: jax.Array,
     return probs.reshape(n)
 
 
+@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",
+                                   "conv_impl"))
+def call_sites_grid(params, feats: jax.Array, centers: jax.Array,
+                    strands: jax.Array, rstart: jax.Array, rend: jax.Array,
+                    kmer_size: int = KMER_SIZE, compute_dtype=jnp.float32,
+                    spec: tuple | None = None,
+                    conv_impl: str = "direct") -> jax.Array:
+    """2D-batched variant: inputs (nb, site_batch), sharded on the second
+    axis for multi-chip data parallelism (each lax.map step runs SPMD over
+    the mesh's data axis; feats/params replicated)."""
+    def one(batch):
+        c, s, rs, re = batch
+        w = gather_windows_slice(feats, c, s, rs, re, kmer_size)
+        w = jax.lax.optimization_barrier(w)
+        logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
+                                 spec=spec, conv_impl=conv_impl)
+        return logits_to_scaled_probs(logits)
+
+    return jax.lax.map(one, (centers, strands, rstart, rend))
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec"))
 def call_sites(params, feats: jax.Array, centers: jax.Array,
                strands: jax.Array, rstart: jax.Array, rend: jax.Array,

@@ -1,0 +1,146 @@
+"""Pallas TPU kernels for the per-site window fetch.
+
+XLA lowers the batched dynamic-slice gathers of the call pipeline to a slow
+path (~30 GB/s effective on v5e); these kernels issue explicit HBM->VMEM
+DMAs per site with multi-buffering across the grid, targeting
+streaming-bandwidth fetches.
+
+Kernels:
+  window_rows_kernel - fetch `fetch_rows` consecutive rows per site from one
+    of two tables (fwd/rev), select the stride-2 phase, optionally flip the
+    row order (reverse-strand windows), emitting (B, out_rows, C).
+    Used by the dense-layer1 call path to fetch per-site conv1 activations.
+
+  window_slice_kernel - fetch kmer consecutive rows per site from a single
+    table (B, kmer, C), the Pallas analog of gather_windows_slice's fetch
+    (mask/flip/perm stay in XLA where they fuse with the CNN).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_rows_kernel(starts_ref, isrev_ref,      # scalar prefetch (SMEM)
+                        d_ref, dr_ref,              # (N, C) tables in ANY/HBM
+                        out_ref,                    # (SPP, out_rows, C) VMEM
+                        scratch, sems,
+                        *, spp: int, fetch_rows: int, out_rows: int):
+    i = pl.program_id(0)
+
+    def start_dma(t):
+        idx = i * spp + t
+        st = starts_ref[idx]
+        rev = isrev_ref[idx]
+
+        @pl.when(rev == 0)
+        def _():
+            pltpu.make_async_copy(
+                d_ref.at[pl.ds(st, fetch_rows), :], scratch.at[t],
+                sems.at[t]).start()
+
+        @pl.when(rev != 0)
+        def _():
+            pltpu.make_async_copy(
+                dr_ref.at[pl.ds(st, fetch_rows), :], scratch.at[t],
+                sems.at[t]).start()
+
+    for t in range(spp):
+        start_dma(t)
+    for t in range(spp):
+        idx = i * spp + t
+        # wait on the semaphore (the descriptor's source ref is irrelevant
+        # for wait; byte count/shape match either table)
+        pltpu.make_async_copy(
+            d_ref.at[pl.ds(starts_ref[idx], fetch_rows), :], scratch.at[t],
+            sems.at[t]).wait()
+        rows = scratch[t]                            # (fetch_rows, C)
+        phase = rows.reshape(fetch_rows // 2, 2, rows.shape[-1])[:, 0, :]
+        # row flip for reverse-strand sites happens in XLA (lax.rev is not
+        # lowerable inside Pallas TPU kernels)
+        out_ref[t, :, :] = phase[:out_rows]
+
+
+@partial(jax.jit,
+         static_argnames=("fetch_rows", "out_rows", "spp", "interpret"))
+def window_rows(d_table: jax.Array, dr_table: jax.Array,
+                starts: jax.Array, is_rev: jax.Array,
+                fetch_rows: int, out_rows: int, spp: int = 8,
+                interpret: bool = False) -> jax.Array:
+    """(B,) site starts -> (B, out_rows, C) stride-2 phase rows.
+
+    For each site: fetch fetch_rows consecutive rows of d_table (fwd) or
+    dr_table (rev) starting at starts[i], keeping every other row (out_rows
+    of them).  Callers flip reverse-strand rows afterwards (cheap in XLA,
+    unlowerable in-kernel)."""
+    B = starts.shape[0]
+    assert B % spp == 0
+    C = d_table.shape[1]
+    kernel = partial(_window_rows_kernel, spp=spp, fetch_rows=fetch_rows,
+                     out_rows=out_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // spp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((spp, out_rows, C), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((spp, fetch_rows, C), d_table.dtype),
+            pltpu.SemaphoreType.DMA((spp,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, C), d_table.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), is_rev.astype(jnp.int32), d_table, dr_table)
+
+
+def _window_slice_kernel(starts_ref, feats_ref, out_ref, scratch, sems,
+                         *, spp: int, kmer: int):
+    i = pl.program_id(0)
+    for t in range(spp):
+        st = starts_ref[i * spp + t]
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(st, kmer), :], scratch.at[t], sems.at[t]
+        ).start()
+    for t in range(spp):
+        st = starts_ref[i * spp + t]
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(st, kmer), :], scratch.at[t], sems.at[t]
+        ).wait()
+        out_ref[t, :, :] = scratch[t]
+
+
+@partial(jax.jit, static_argnames=("kmer", "spp", "interpret"))
+def window_slices(feats: jax.Array, starts: jax.Array, kmer: int,
+                  spp: int = 8, interpret: bool = False) -> jax.Array:
+    """(B,) starts -> (B, kmer, C) consecutive-row fetches."""
+    B = starts.shape[0]
+    assert B % spp == 0
+    C = feats.shape[1]
+    kernel = partial(_window_slice_kernel, spp=spp, kmer=kmer)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // spp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((spp, kmer, C), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((spp, kmer, C), feats.dtype),
+            pltpu.SemaphoreType.DMA((spp,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, kmer, C), feats.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), feats)

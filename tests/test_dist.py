@@ -1,0 +1,88 @@
+"""Multi-host sharding: shard assignment, shard call + merge round-trip, and
+multi-chip data-parallel call equivalence."""
+import numpy as np
+
+from hifimeth_tpu.engine.call import CallConfig, run_call
+from hifimeth_tpu.io.bam import BamReader
+from hifimeth_tpu.parallel.dist import (ShardSpec, chromosome_ranges,
+                                        merge_shard_bams, shard_path)
+
+from util import make_kinetics_read, write_bam
+
+
+def test_shard_assignment():
+    spec0 = ShardSpec(0, 3, batch_size=10)
+    spec1 = ShardSpec(1, 3, batch_size=10)
+    owners = [(r // 10) % 3 for r in range(100)]
+    for r in range(100):
+        assert spec0.owns_read(r) == (owners[r] == 0)
+        assert spec1.owns_read(r) == (owners[r] == 1)
+    # every read owned by exactly one process
+    for r in range(100):
+        assert sum(ShardSpec(p, 3, 10).owns_read(r) for p in range(3)) == 1
+
+
+def test_chromosome_ranges():
+    assert chromosome_ranges(5, ShardSpec(0, 2)) == [0, 2, 4]
+    assert chromosome_ranges(5, ShardSpec(1, 2)) == [1, 3]
+    assert chromosome_ranges(3, ShardSpec(0, 1)) == [0, 1, 2]
+
+
+def test_sharded_call_and_merge_equals_single(tmp_path):
+    rng = np.random.default_rng(0)
+    recs = [make_kinetics_read(rng, f"r{i}", int(rng.integers(1100, 1400)))
+            for i in range(13)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    cfg = CallConfig(contexts=("CpG",), site_batch=128)
+    # single-process reference output
+    single = tmp_path / "single.bam"
+    run_call(str(in_bam), str(single), cfg)
+
+    # 3 simulated hosts with small round-robin blocks
+    n_proc = 3
+    out_base = str(tmp_path / "out.bam")
+    shard_paths = []
+    for pid in range(n_proc):
+        spec = ShardSpec(pid, n_proc, batch_size=2)
+        run_call(str(in_bam), out_base, cfg, shard=spec)
+        shard_paths.append(shard_path(out_base, spec))
+
+    merged = tmp_path / "merged.bam"
+    n = merge_shard_bams(str(merged), shard_paths, batch_size=2)
+    assert n == len(recs)
+
+    a = list(BamReader(single))
+    b = list(BamReader(merged))
+    assert [r.qname for r in a] == [r.qname for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.get_tag("MM") == rb.get_tag("MM")
+        ta, tb = ra.get_tag("ML"), rb.get_tag("ML")
+        assert np.array_equal(ta[1][1], tb[1][1])
+
+
+def test_data_parallel_call_matches_single(tmp_path):
+    import jax
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(1)
+    recs = [make_kinetics_read(rng, f"r{i}", 1500) for i in range(6)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    base = CallConfig(contexts=("CpG", "CHH"), site_batch=256)
+    single = tmp_path / "single.bam"
+    run_call(str(in_bam), str(single), base)
+
+    dp_cfg = CallConfig(contexts=("CpG", "CHH"), site_batch=256,
+                        data_parallel=True)
+    dp = tmp_path / "dp.bam"
+    run_call(str(in_bam), str(dp), dp_cfg)
+
+    a = list(BamReader(single))
+    b = list(BamReader(dp))
+    for ra, rb in zip(a, b):
+        assert ra.get_tag("MM") == rb.get_tag("MM")
+        pa = ra.get_tag("ML")[1][1].astype(int)
+        pb = rb.get_tag("ML")[1][1].astype(int)
+        assert np.abs(pa - pb).max() <= 1
