@@ -93,7 +93,7 @@ def bench_device_only(dtype, n_iters=20, site_batch=8192, cap=1 << 21, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=300)
+    ap.add_argument("--reads", type=int, default=200)
     ap.add_argument("--read-len", type=int, default=15000)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--site-batch", type=int, default=16384)

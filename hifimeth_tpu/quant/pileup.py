@@ -168,8 +168,25 @@ class PileupSpill:
 
 def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
                cfg: PileupConfig | None = None,
-               spill_dir: str | None = None) -> dict:
+               spill_dir: str | None = None,
+               shard=None, bins_reduce=None,
+               extra_spill_paths: list[str] | None = None,
+               keep_spill: bool = False) -> dict:
+    """Genome-wide quantification.
+
+    Multi-host mode (shard = ShardSpec with num_processes > 1): this process
+    histograms/maps only its round-robin read blocks, `bins_reduce` merges
+    the 256-bin histograms across processes (e.g. a psum over the process
+    mesh, parallel/collectives.psum_histograms - the collective replacement
+    for the reference's mutex merge, pileup.cpp:158-167), pass 2 covers only
+    this process's chromosome range using every process's spill file
+    (extra_spill_paths via the shared filesystem), and BED rows are written
+    to per-shard files merged with tools `merge-pileup-shards`.
+    """
+    from ..parallel.dist import ShardSpec, chromosome_ranges
+
     cfg = cfg or PileupConfig()
+    shard = shard or ShardSpec()
     reader = BamReader(mod_bam_path, threads=cfg.io_threads)
     hdr = reader.header
     if hdr.n_refs == 0 or hdr.sort_order() != "coordinate":
@@ -186,7 +203,11 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
     spill = PileupSpill(db.num_seqs, dir=spill_dir)
 
     n_reads = 0
+    read_id = -1
     for rec in reader:
+        read_id += 1
+        if not shard.owns_read(read_id):
+            continue
         n_reads += 1
         if n_reads % 100000 == 0:
             log("%10d reads processed", n_reads)
@@ -239,55 +260,101 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
     reader.close()
     spill.finish()
 
+    if bins_reduce is not None:
+        bins = bins_reduce(bins)
     thresholds = np.array([
         resolve_threshold(bins[0], "CpG"),
         resolve_threshold(bins[1], "CHG"),
         resolve_threshold(bins[2], "CHH"),
     ], np.uint8)
 
+    suffix = "" if shard.num_processes == 1 else f".shard{shard.process_id:04d}"
     outs = {
-        0: open(f"{output_prefix}.CpG.cov.bed", "w"),
-        1: open(f"{output_prefix}.CHG.cov.bed", "w"),
-        2: open(f"{output_prefix}.CHH.cov.bed", "w"),
+        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "w"),
+        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "w"),
+        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "w"),
     }
-    # replay: records are sid-ordered (coordinate-sorted input); accumulate
-    # one chromosome at a time
-    cur_sid = -1
-    pcov = ncov = motif_map = None
+    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
+    spill_sources = [spill] + [
+        _ExternalSpill(p) for p in (extra_spill_paths or [])]
+
+    # pass 2: merge the sid-ordered spill streams per chromosome so memory
+    # stays bounded by a single chromosome's (pcov, ncov, motif) arrays, as
+    # in the reference's per-chromosome replay (pileup.cpp:513-560)
     rows = 0
-
-    def _emit(sid):
-        nonlocal rows
-        if sid < 0:
-            return
-        name = db.seq_name(sid)
-        for m in range(3):
-            rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map, m)
-
-    for chunk in spill.replay():
-        for sid in np.unique(chunk["sid"]):
-            part = chunk[chunk["sid"] == sid]
-            if sid != cur_sid:
-                _emit(cur_sid)
-                cur_sid = int(sid)
-                size = db.seq_length(cur_sid)
-                pcov = np.zeros(size, np.int32)
-                ncov = np.zeros(size, np.int32)
-                motif_map = np.full(size, 255, np.uint8)
-            p, n, mm = accumulate_counts(
-                part["soff"].astype(np.int64), part["prob"],
-                part["motif"], thresholds, len(pcov))
-            pcov += p
-            ncov += n
-            touched = mm != 255
-            motif_map[touched] = mm[touched]
-    _emit(cur_sid)
+    streams = [_sid_grouped(src) for src in spill_sources]
+    heads = [next(s, None) for s in streams]
+    while any(h is not None for h in heads):
+        sid = min(h[0] for h in heads if h is not None)
+        size = db.seq_length(sid)
+        pcov = np.zeros(size, np.int32)
+        ncov = np.zeros(size, np.int32)
+        motif_map = np.full(size, 255, np.uint8)
+        wanted = sid in my_chroms
+        for i, stream in enumerate(streams):
+            while heads[i] is not None and heads[i][0] == sid:
+                part = heads[i][1]
+                if wanted:
+                    p, n, mm = accumulate_counts(
+                        part["soff"].astype(np.int64), part["prob"],
+                        part["motif"], thresholds, size)
+                    pcov += p
+                    ncov += n
+                    touched = mm != 255
+                    motif_map[touched] = mm[touched]
+                heads[i] = next(stream, None)
+        if wanted:
+            name = db.seq_name(sid)
+            for m in range(3):
+                rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map, m)
     for f in outs.values():
         f.close()
-    spill.cleanup()
+    if not keep_spill:
+        spill.cleanup()
     return {
         "reads": n_reads,
         "thresholds": thresholds.tolist(),
         "bed_rows": rows,
         "bins": bins,
+        "spill_path": spill.path if keep_spill else None,
     }
+
+
+def _sid_grouped(src, chunk: int = 1 << 20):
+    """Yield (sid, record-part) pairs from a sid-ordered spill stream."""
+    for arr in src.replay(chunk):
+        for sid in np.unique(arr["sid"]):
+            yield int(sid), arr[arr["sid"] == sid]
+
+
+class _ExternalSpill:
+    """Replay wrapper over another shard's spill file path."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def replay(self, chunk: int = 1 << 20):
+        with open(self.path, "rb") as f:
+            while True:
+                arr = np.fromfile(f, dtype=SPILL_DTYPE, count=chunk)
+                if len(arr) == 0:
+                    break
+                yield arr
+
+
+def merge_pileup_shards(output_prefix: str, n_shards: int) -> None:
+    """Concatenate per-shard BED files; chromosome order is preserved because
+    each shard owns a disjoint chromosome set emitted in sid order (the
+    round-robin interleave keeps global sid order when concatenating shards
+    row-group-wise).  Simpler + exact: re-sort rows by (first-seen chromosome
+    order in any shard, position) is unnecessary since consumers key on
+    (chrom, pos); we concatenate shard files in shard order."""
+    import shutil
+
+    for ctx in ("CpG", "CHG", "CHH"):
+        with open(f"{output_prefix}.{ctx}.cov.bed", "w") as out:
+            for s in range(n_shards):
+                p = f"{output_prefix}.{ctx}.cov.bed.shard{s:04d}"
+                if os.path.exists(p):
+                    with open(p) as f:
+                        shutil.copyfileobj(f, out)

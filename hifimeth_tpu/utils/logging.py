@@ -76,6 +76,16 @@ def program_banner(name: str, version: str, extras: dict[str, str] | None = None
     print(f"  Machine:                 {u.machine}", file=out)
     print(f"  Logical CPU threads:     {os.cpu_count()}", file=out)
     try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    kb = int(line.split()[1])
+                    print(f"  RAM:                     {bytes_to_datasize(kb * 1024)}",
+                          file=out)
+                    break
+    except OSError:
+        pass
+    try:
         devs = jax.devices()
         print(f"  Accelerators:            {len(devs)} x {devs[0].device_kind}", file=out)
     except Exception:  # pragma: no cover - device discovery is best-effort

@@ -86,3 +86,44 @@ def test_data_parallel_call_matches_single(tmp_path):
         pa = ra.get_tag("ML")[1][1].astype(int)
         pb = rb.get_tag("ML")[1][1].astype(int)
         assert np.abs(pa - pb).max() <= 1
+
+
+def test_sharded_pileup_matches_single(tmp_path):
+    """2-process pileup simulation: sharded pass 1 + psum-style bins merge +
+    chromosome-range pass 2 + shard concat == single-process output."""
+    from hifimeth_tpu.quant.pileup import merge_pileup_shards, run_pileup
+    from test_pileup import make_mapped_mod_bam
+
+    rng = np.random.default_rng(9)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=30)
+
+    single_prefix = str(tmp_path / "single")
+    sres = run_pileup(str(fasta), str(bam), single_prefix,
+                      spill_dir=str(tmp_path))
+
+    # harvest per-shard local bins + spill files
+    n_proc = 2
+    harvest = []
+    for pid in range(n_proc):
+        spec = ShardSpec(pid, n_proc, batch_size=3)
+        r = run_pileup(str(fasta), str(bam), str(tmp_path / f"h{pid}"),
+                       spill_dir=str(tmp_path), shard=spec, keep_spill=True)
+        harvest.append(r)
+    global_bins = harvest[0]["bins"] + harvest[1]["bins"]
+    np.testing.assert_array_equal(global_bins, sres["bins"])
+
+    # final sharded runs with the collective-merged bins and all spills
+    shard_prefix = str(tmp_path / "sh")
+    for pid in range(n_proc):
+        spec = ShardSpec(pid, n_proc, batch_size=3)
+        other = harvest[1 - pid]["spill_path"]
+        run_pileup(str(fasta), str(bam), shard_prefix,
+                   spill_dir=str(tmp_path), shard=spec,
+                   bins_reduce=lambda local: global_bins,
+                   extra_spill_paths=[other])
+    merge_pileup_shards(shard_prefix, n_proc)
+
+    for ctx in ("CpG", "CHG", "CHH"):
+        a = sorted(open(f"{single_prefix}.{ctx}.cov.bed").read().splitlines())
+        b = sorted(open(f"{shard_prefix}.{ctx}.cov.bed").read().splitlines())
+        assert a == b, f"{ctx} mismatch"

@@ -313,3 +313,22 @@ def test_classify_read_mods():
     # s[2]='G': s[0:3]="ACG" not rev CHH; s[14]='G': s[12:15]="TTG" rev CHH
     cls = classify_read_mods(s, qoffs)
     assert list(cls) == [0, 1, 2, -1, 2]
+
+
+def test_effective_identity():
+    from hifimeth_tpu.quant.alignment import effective_identity
+    a = np.frombuffer(b"ACGTACGT", np.uint8)
+    b = np.frombuffer(b"ACGTACGA", np.uint8)
+    assert effective_identity(a, b) == pytest.approx(100 * 7 / 8)
+    # short gap (< 8) counts toward effective length
+    qa = np.frombuffer(b"ACG---TACGT", np.uint8)
+    sa = np.frombuffer(b"ACGTTTTACGT", np.uint8)
+    assert effective_identity(qa, sa) == pytest.approx(100 * 8 / 11)
+    # long gap (>= 8) excluded entirely
+    qg = np.frombuffer(b"AC--------GT", np.uint8)
+    sg = np.frombuffer(b"ACTTTTTTTTGT", np.uint8)
+    assert effective_identity(qg, sg) == pytest.approx(100.0)
+    # both-gap columns skipped
+    qb = np.frombuffer(b"AC-GT", np.uint8)
+    sb = np.frombuffer(b"AC-GT", np.uint8)
+    assert effective_identity(qb, sb) == pytest.approx(100.0)
