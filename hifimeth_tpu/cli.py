@@ -29,6 +29,7 @@ COMMANDS:
   read-level-eval  Score eval output files (accuracy/precision/.../AUC/AP)
   merge-shards     Interleave per-host shard BAMs into global read order
   import-model     Convert reference ONNX models to native .npz
+  export-model     Convert a native .npz model back to ONNX
   train            Train a per-context DNAModNet on extracted features
   version          Print version
 
@@ -222,6 +223,18 @@ def main(argv=None) -> int:
     if cmd == "import-model":
         from .tools.import_model import main as im_main
         return im_main(rest)
+
+    if cmd == "export-model":
+        if len(rest) != 2:
+            print(f"USAGE:\n  {PROG} export-model model.npz model.onnx",
+                  file=sys.stderr)
+            return 1
+        from .model.cnn import load_params_npz
+        from .model.onnx_export import export_onnx
+        params = load_params_npz(rest[0])
+        export_onnx(params, rest[1])
+        log("exported %s -> %s", rest[0], rest[1])
+        return 0
 
     if cmd == "train":
         from .train.train import main as train_main

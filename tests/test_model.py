@@ -124,3 +124,22 @@ def test_bf16_compute_within_one_u8_bucket():
     bf16 = np.asarray(logits_to_scaled_probs(
         dnamodnet_apply(params, x, compute_dtype=jnp.bfloat16)))
     assert np.abs(f32.astype(int) - bf16.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("ctx", ["CpG", "CHH"])
+def test_onnx_export_roundtrip(ctx, tmp_path):
+    from hifimeth_tpu.model.cnn import load_reference_onnx
+    from hifimeth_tpu.model.onnx_export import export_onnx
+
+    params = load_params_npz(os.path.join(MODELS_DIR, f"{ctx}.npz"))
+    out = str(tmp_path / "m.onnx")
+    export_onnx(params, out)
+    p2 = load_reference_onnx(out)
+    rng = np.random.default_rng(5)
+    x = _random_features(rng, 4)
+    a = np.asarray(dnamodnet_apply(params, x))
+    b = np.asarray(dnamodnet_apply(p2, x))
+    np.testing.assert_array_equal(a, b)
+    # independent numpy evaluation of the exported graph
+    c = numpy_onnx_forward(out, x)
+    assert np.abs(a - c).max() < 1e-3
