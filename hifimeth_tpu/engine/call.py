@@ -270,30 +270,51 @@ class CallEngine:
         return n, probs
 
     def flush(self, out: list):
-        """Run the device pipeline on the packed buffer, attach MM/ML/MN, and
-        append finished records to `out` in input order."""
-        if self._fill > 0:
-            t0 = time.perf_counter()
+        """Dispatch the packed buffer to the device (async), then resolve and
+        emit the PREVIOUS in-flight flush - so the host decodes/packs flush
+        N+1 while the device computes flush N.  Call finalize() at EOF."""
+        t0 = time.perf_counter()
+        futures = None
+        if self._fill > self._margin:
             planes_dev = jnp.asarray(self._planes)
             if self.mesh is not None:
                 from ..parallel.mesh import replicated
                 planes_dev = jax.device_put(self._planes, replicated(self.mesh))
             feats = featurize_planes(planes_dev)
-            # dispatch all contexts first (async), then fetch - overlaps the
-            # three device programs with each other and with the D2H copies
+            # dispatch all contexts (async); D2H resolution happens when the
+            # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
                        for ctx in self.cfg.contexts}
-            self.timers["device_dispatch"] += time.perf_counter() - t0
-            t0 = time.perf_counter()
+        current = (self._pending, futures)
+        self.timers["device_dispatch"] += time.perf_counter() - t0
+
+        prev = getattr(self, "_inflight", None)
+        self._inflight = current
+        self._reset_buffer()
+        if prev is not None:
+            self._emit(prev, out)
+
+    def finalize(self, out: list):
+        """Flush any packed reads and drain both in-flight flushes."""
+        self.flush(out)
+        prev = self._inflight
+        self._inflight = None
+        if prev is not None:
+            self._emit(prev, out)
+
+    def _emit(self, inflight, out: list):
+        pending, futures = inflight
+        t0 = time.perf_counter()
+        if futures is not None:
             probs = {ctx: (np.asarray(f)[:n] if f is not None
                            else np.empty(0, np.uint8))
                      for ctx, (n, f) in futures.items()}
-            self.timers["device_wait"] += time.perf_counter() - t0
         else:
             probs = {ctx: np.empty(0, np.uint8) for ctx in self.cfg.contexts}
+        self.timers["device_wait"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        for pend in self._pending:
+        for pend in pending:
             rec = pend.rec
             if pend.fwd_seq is None:
                 out.append(rec)
@@ -315,7 +336,6 @@ class CallEngine:
                            keep_kinetics=self.cfg.keep_kinetics)
             out.append(rec)
         self.timers["mmbuild"] += time.perf_counter() - t0
-        self._reset_buffer()
 
 
 def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
@@ -348,7 +368,7 @@ def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
                 writer.write(r)
             done.clear()
             batch_idx += 1
-    engine.flush(done)
+    engine.finalize(done)
     for r in done:
         writer.write(r)
     writer.close()
