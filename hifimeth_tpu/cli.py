@@ -30,6 +30,7 @@ COMMANDS:
   merge-shards     Interleave per-host shard BAMs into global read order
   import-model     Convert reference ONNX models to native .npz
   export-model     Convert a native .npz model back to ONNX
+  extract-features Build training feature blobs from BAM + BS-seq labels
   train            Train a per-context DNAModNet on extracted features
   version          Print version
 
@@ -235,6 +236,11 @@ def main(argv=None) -> int:
         export_onnx(params, rest[1])
         log("exported %s -> %s", rest[0], rest[1])
         return 0
+
+    if cmd == "extract-features":
+        from .tools.extract_features import main as ef_main
+        with program_info(PROG):
+            return ef_main(rest)
 
     if cmd == "train":
         from .train.train import main as train_main

@@ -119,3 +119,62 @@ def test_training_sharded_over_mesh(tmp_path):
     res = train_context(blob, cfg, str(tmp_path / "m.npz"), mesh=mesh)
     assert res["steps"] == 4
     assert np.isfinite(res["final_loss"])
+
+
+def test_extract_features_then_train(tmp_path):
+    """Full training loop from a mapped kinetics BAM + labels: extract blob,
+    train, and get a loadable model (closes the reference's missing
+    blob-producer gap)."""
+    from hifimeth_tpu.io.bam import BamHeader, BamWriter
+    from hifimeth_tpu.io.mmtags import KINETICS_TAGS
+    from hifimeth_tpu.tools.extract_features import run_extract_features
+    from test_pileup import _simulate_alignment
+
+    rng = np.random.default_rng(4)
+    genome = "".join(rng.choice(list("ACGT"), 4000))
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(f">c1\n{genome}\n")
+
+    recs = []
+    from hifimeth_tpu.io.bam import BamRecord
+    for i in range(12):
+        stored, cigar_str, pos = _simulate_alignment(rng, genome, 0)
+        # pad to min length by retrying with longer target is overkill; just
+        # lower min_read_size in the call below
+        rec = BamRecord(qname=f"rd{i}", flag=0, refid=0, pos=pos, mapq=60)
+        rec.set_seq(stored.encode())
+        rec.set_cigar_str(cigar_str)
+        L = rec.l_seq
+        for t in KINETICS_TAGS:
+            rec.set_tag(t, "B", ("C", rng.integers(0, 256, L).astype(np.uint8)))
+        recs.append(rec)
+    recs.sort(key=lambda r: r.pos)
+    bam = tmp_path / "k.bam"
+    hdr = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("c1", len(genome))])
+    with BamWriter(bam, hdr) as w:
+        for r in recs:
+            w.write(r)
+
+    rows = []
+    for i, ch in enumerate(genome):
+        if ch in "CG":
+            if i % 2:
+                rows.append(f"c1\t{i}\t{i + 1}\t100\t12\t0")
+            else:
+                rows.append(f"c1\t{i}\t{i + 1}\t0\t0\t12")
+    labels = tmp_path / "l.bed"
+    labels.write_text("\n".join(rows) + "\n")
+
+    prefix = str(tmp_path / "blob")
+    res = run_extract_features(str(fasta), "CpG", str(labels), str(bam),
+                               prefix, min_read_size=50)
+    assert res["positives"] + res["negatives"] > 0
+
+    blob = load_feature_blob(f"{prefix}.features", f"{prefix}.samples",
+                             f"{prefix}.offsets")
+    assert blob.n_samples == res["positives"] + res["negatives"]
+    cfg = TrainConfig(kmer=41, batch_size=min(64, blob.n_samples), epochs=1,
+                      lr=0.01, log_every=1)
+    out = str(tmp_path / "m.npz")
+    r = train_context(blob, cfg, out)
+    assert np.isfinite(r["final_loss"])
