@@ -163,8 +163,10 @@ def main(argv=None) -> int:
             print(f"USAGE:\n  {PROG} pileup [-q mapQ] [-f identity] [-t threads] "
                   "reference mod-bam output-prefix", file=sys.stderr)
             return 1
+        from .quant.pileup import run_pileup_parallel
         with program_info(PROG):
-            run_pileup(pos[0], pos[1], pos[2], cfg)
+            run_pileup_parallel(pos[0], pos[1], pos[2], cfg,
+                                workers=cfg.io_threads)
         return 0
 
     if cmd == "corr":

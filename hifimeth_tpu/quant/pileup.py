@@ -166,42 +166,8 @@ class PileupSpill:
             pass
 
 
-def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
-               cfg: PileupConfig | None = None,
-               spill_dir: str | None = None,
-               shard=None, bins_reduce=None,
-               extra_spill_paths: list[str] | None = None,
-               keep_spill: bool = False) -> dict:
-    """Genome-wide quantification.
-
-    Multi-host mode (shard = ShardSpec with num_processes > 1): this process
-    histograms/maps only its round-robin read blocks, `bins_reduce` merges
-    the 256-bin histograms across processes (e.g. a psum over the process
-    mesh, parallel/collectives.psum_histograms - the collective replacement
-    for the reference's mutex merge, pileup.cpp:158-167), pass 2 covers only
-    this process's chromosome range using every process's spill file
-    (extra_spill_paths via the shared filesystem), and BED rows are written
-    to per-shard files merged with tools `merge-pileup-shards`.
-    """
-    from ..parallel.dist import ShardSpec, chromosome_ranges
-
-    cfg = cfg or PileupConfig()
-    shard = shard or ShardSpec()
-    reader = BamReader(mod_bam_path, threads=cfg.io_threads)
-    hdr = reader.header
-    if hdr.n_refs == 0 or hdr.sort_order() != "coordinate":
-        print("ERROR: Methylation frequency could not be computed due to the "
-              "following errors:", file=sys.stderr)
-        if hdr.n_refs == 0:
-            print("BAM is not mapped", file=sys.stderr)
-        if hdr.sort_order() != "coordinate":
-            print("BAM is not sorted", file=sys.stderr)
-        raise SystemExit(1)
-
-    db = FastaDatabase(reference_path)
-    bins = np.zeros((3, 256), np.int64)
-    spill = PileupSpill(db.num_seqs, dir=spill_dir)
-
+def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
+    """Pass 1 over the shard's reads: histogram + genome mapping + spill."""
     n_reads = 0
     read_id = -1
     for rec in reader:
@@ -257,30 +223,18 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
             out_parts.append(part)
         if out_parts:
             spill.add(np.concatenate(out_parts))
-    reader.close()
-    spill.finish()
+    return n_reads
 
-    if bins_reduce is not None:
-        bins = bins_reduce(bins)
-    thresholds = np.array([
-        resolve_threshold(bins[0], "CpG"),
-        resolve_threshold(bins[1], "CHG"),
-        resolve_threshold(bins[2], "CHH"),
-    ], np.uint8)
 
-    suffix = "" if shard.num_processes == 1 else f".shard{shard.process_id:04d}"
+def _pass2(db, thresholds, spill_sources, output_prefix: str,
+           my_chroms: set, suffix: str) -> int:
+    """Per-chromosome multi-way merge over sid-ordered spill streams; memory
+    bounded by one chromosome (pileup.cpp:513-560)."""
     outs = {
         0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "w"),
         1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "w"),
         2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "w"),
     }
-    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
-    spill_sources = [spill] + [
-        _ExternalSpill(p) for p in (extra_spill_paths or [])]
-
-    # pass 2: merge the sid-ordered spill streams per chromosome so memory
-    # stays bounded by a single chromosome's (pcov, ncov, motif) arrays, as
-    # in the reference's per-chromosome replay (pileup.cpp:513-560)
     rows = 0
     streams = [_sid_grouped(src) for src in spill_sources]
     heads = [next(s, None) for s in streams]
@@ -309,6 +263,62 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
                 rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map, m)
     for f in outs.values():
         f.close()
+    return rows
+
+
+def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
+               cfg: PileupConfig | None = None,
+               spill_dir: str | None = None,
+               shard=None, bins_reduce=None,
+               extra_spill_paths: list[str] | None = None,
+               keep_spill: bool = False) -> dict:
+    """Genome-wide quantification.
+
+    Multi-host mode (shard = ShardSpec with num_processes > 1): this process
+    histograms/maps only its round-robin read blocks, `bins_reduce` merges
+    the 256-bin histograms across processes (e.g. a psum over the process
+    mesh, parallel/collectives.psum_histograms - the collective replacement
+    for the reference's mutex merge, pileup.cpp:158-167), pass 2 covers only
+    this process's chromosome range using every process's spill file
+    (extra_spill_paths via the shared filesystem), and BED rows are written
+    to per-shard files merged with tools `merge-pileup-shards`.
+    """
+    from ..parallel.dist import ShardSpec, chromosome_ranges
+
+    cfg = cfg or PileupConfig()
+    shard = shard or ShardSpec()
+    reader = BamReader(mod_bam_path, threads=cfg.io_threads)
+    hdr = reader.header
+    if hdr.n_refs == 0 or hdr.sort_order() != "coordinate":
+        print("ERROR: Methylation frequency could not be computed due to the "
+              "following errors:", file=sys.stderr)
+        if hdr.n_refs == 0:
+            print("BAM is not mapped", file=sys.stderr)
+        if hdr.sort_order() != "coordinate":
+            print("BAM is not sorted", file=sys.stderr)
+        raise SystemExit(1)
+
+    db = FastaDatabase(reference_path)
+    bins = np.zeros((3, 256), np.int64)
+    spill = PileupSpill(db.num_seqs, dir=spill_dir)
+    n_reads = _pass1_stream(reader, hdr, db, cfg, shard, bins, spill)
+    reader.close()
+    spill.finish()
+
+    if bins_reduce is not None:
+        bins = bins_reduce(bins)
+    thresholds = np.array([
+        resolve_threshold(bins[0], "CpG"),
+        resolve_threshold(bins[1], "CHG"),
+        resolve_threshold(bins[2], "CHH"),
+    ], np.uint8)
+
+    suffix = "" if shard.num_processes == 1 else f".shard{shard.process_id:04d}"
+    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
+    spill_sources = [spill] + [
+        _ExternalSpill(p) for p in (extra_spill_paths or [])]
+    rows = _pass2(db, thresholds, spill_sources, output_prefix, my_chroms,
+                  suffix)
     if not keep_spill:
         spill.cleanup()
     return {
@@ -340,6 +350,69 @@ class _ExternalSpill:
                 if len(arr) == 0:
                     break
                 yield arr
+
+
+def _pass1_worker(args):
+    """Multiprocessing worker: run pass 1 for one shard, return
+    (bins, spill_path, n_reads).  Runs jax-free (numpy only)."""
+    (reference_path, mod_bam_path, cfg, shard, spill_dir) = args
+    from ..parallel.dist import ShardSpec  # noqa: F401  (unpickling type)
+
+    reader = BamReader(mod_bam_path, threads=2)
+    hdr = reader.header
+    db = FastaDatabase(reference_path, quiet=True)
+    bins = np.zeros((3, 256), np.int64)
+    spill = PileupSpill(db.num_seqs, dir=spill_dir)
+    n_reads = _pass1_stream(reader, hdr, db, cfg, shard, bins, spill)
+    reader.close()
+    spill.finish()
+    return bins, spill.path, n_reads
+
+
+def run_pileup_parallel(reference_path: str, mod_bam_path: str,
+                        output_prefix: str, cfg: PileupConfig | None = None,
+                        workers: int = 8, spill_dir: str | None = None) -> dict:
+    """Single-host parallel pileup: pass 1 fans out over `workers` local
+    processes with round-robin read shards (the process analog of the
+    reference's pthread pool, pileup.cpp:494-504), histograms sum in the
+    parent, pass 2 multi-way-merges all spill files."""
+    import multiprocessing as mp
+
+    from ..parallel.dist import ShardSpec
+
+    cfg = cfg or PileupConfig()
+    if workers <= 1:
+        return run_pileup(reference_path, mod_bam_path, output_prefix, cfg,
+                          spill_dir=spill_dir)
+    jobs = [(reference_path, mod_bam_path, cfg,
+             ShardSpec(i, workers, batch_size=100), spill_dir)
+            for i in range(workers)]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        results = pool.map(_pass1_worker, jobs)
+    bins = np.zeros((3, 256), np.int64)
+    spill_paths = []
+    n_reads = 0
+    for b, path, n in results:
+        bins += b
+        spill_paths.append(path)
+        n_reads += n
+
+    thresholds = np.array([
+        resolve_threshold(bins[0], "CpG"),
+        resolve_threshold(bins[1], "CHG"),
+        resolve_threshold(bins[2], "CHH"),
+    ], np.uint8)
+    db = FastaDatabase(reference_path)
+    rows = _pass2(db, thresholds, [_ExternalSpill(p) for p in spill_paths],
+                  output_prefix, set(range(db.num_seqs)), "")
+    for p in spill_paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return {"reads": n_reads, "thresholds": thresholds.tolist(),
+            "bed_rows": rows, "bins": bins}
 
 
 def merge_pileup_shards(output_prefix: str, n_shards: int) -> None:

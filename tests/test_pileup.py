@@ -332,3 +332,18 @@ def test_effective_identity():
     qb = np.frombuffer(b"AC-GT", np.uint8)
     sb = np.frombuffer(b"AC-GT", np.uint8)
     assert effective_identity(qb, sb) == pytest.approx(100.0)
+
+
+def test_parallel_pileup_matches_single(tmp_path):
+    from hifimeth_tpu.quant.pileup import run_pileup_parallel
+    rng = np.random.default_rng(17)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=30)
+    p1 = str(tmp_path / "single")
+    run_pileup(str(fasta), str(bam), p1, spill_dir=str(tmp_path))
+    p2 = str(tmp_path / "par")
+    run_pileup_parallel(str(fasta), str(bam), p2, workers=3,
+                        spill_dir=str(tmp_path))
+    for ctx in ("CpG", "CHG", "CHH"):
+        a = sorted(open(f"{p1}.{ctx}.cov.bed").read().splitlines())
+        b = sorted(open(f"{p2}.{ctx}.cov.bed").read().splitlines())
+        assert a == b, f"{ctx} mismatch"
