@@ -222,14 +222,17 @@ class CallEngine:
         self._pending.append(pend)
 
     # -- device flush ------------------------------------------------------
-    @staticmethod
-    def _bucket_batches(nb: int) -> int:
-        """Round the per-flush batch count up to a power of two so the
-        one-dispatch-per-flush program compiles only O(log) times."""
-        b = 1
-        while b < nb:
-            b <<= 1
-        return b
+    #: allowed per-flush batch counts: ~1.5x steps bound padding waste at
+    #: ~33%% worst case / ~15%% average while keeping the compile count small
+    #: (programs persist in the XLA compilation cache)
+    _BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+    @classmethod
+    def _bucket_batches(cls, nb: int) -> int:
+        for b in cls._BUCKETS:
+            if b >= nb:
+                return b
+        return nb
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
