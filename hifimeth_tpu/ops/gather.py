@@ -144,3 +144,10 @@ def window_slices(feats: jax.Array, starts: jax.Array, kmer: int,
         out_shape=jax.ShapeDtypeStruct((B, kmer, C), feats.dtype),
         interpret=interpret,
     )(starts.astype(jnp.int32), feats)
+
+
+# Status note (round 1): both kernels are verified in interpret mode, but on
+# the available remote-tunnel v5e the compiled window_rows kernel executes
+# orders of magnitude slower than expected (suspected per-DMA serialization
+# through the relay); the engine therefore keeps the XLA contiguous-slice
+# gather as its default fetch path.  Revisit with on-chip profiling.
