@@ -59,6 +59,7 @@ class CallConfig:
     conv_impl: str = "direct"            # direct | im2col | auto
     dense_layer1: bool = False           # densified first conv (a trous)
     data_parallel: bool = False          # shard site batches over local chips
+    stats_json: str = ""                 # write machine-readable run stats
     io_threads: int = 8
 
     def resolve_model_dir(self) -> str:
@@ -390,4 +391,12 @@ def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
             print(f"  ## {ctx} samples: {format_with_commas(s[ctx])}",
                   file=sys.stderr)
     sys.stderr.flush()
+    if cfg.stats_json:
+        import json
+        with open(cfg.stats_json, "w") as f:
+            json.dump({"stats": {k: int(v) for k, v in s.items()},
+                       "timers": engine.timers,
+                       "config": {"contexts": list(cfg.contexts),
+                                  "compute_dtype": cfg.compute_dtype,
+                                  "site_batch": cfg.site_batch}}, f, indent=1)
     return s

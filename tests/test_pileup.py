@@ -347,3 +347,25 @@ def test_parallel_pileup_matches_single(tmp_path):
         a = sorted(open(f"{p1}.{ctx}.cov.bed").read().splitlines())
         b = sorted(open(f"{p2}.{ctx}.cov.bed").read().splitlines())
         assert a == b, f"{ctx} mismatch"
+
+
+def test_expand_alignment_hard_clip_and_skip(tmp_path):
+    """H leading clip (consumes nothing) and N (ref skip) expand like the
+    reference (bam_info.cpp:287-336)."""
+    genome = "ACGTACGTACGTACGTACGT"
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">c\n{genome}\n")
+    db = FastaDatabase(str(fa), quiet=True)
+    rec = BamRecord(qname="h", flag=0, refid=0, pos=2, mapq=60)
+    rec.set_seq(b"GTACGTAC")               # genome[2:10]
+    rec.set_cigar_str("5H4M3N4M2H")
+    aln = expand_alignment(rec, db, "c")
+    # columns: 4 M + 3 N(gap on query) + 4 M
+    assert aln.n_cols == 11
+    assert aln.qas.tobytes().decode() == "GTAC---GTAC"
+    assert aln.sas.tobytes().decode() == genome[2:13]
+    assert aln.qb == 0 and aln.qe == 8
+    assert aln.sb == 2 and aln.se == 13
+    # qpos stalls during N; spos is absolute
+    assert list(aln.qpos) == [0, 1, 2, 3, 3, 3, 3, 4, 5, 6, 7]
+    assert list(aln.spos) == list(range(2, 13))
