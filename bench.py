@@ -56,41 +56,6 @@ def count_sites(bam_path):
     return total
 
 
-def bench_device_only(dtype, n_iters=20, site_batch=8192, cap=1 << 21, seed=0):
-    """Pure device pipeline: featurize + gather + 3-context CNN."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from hifimeth_tpu.engine.call import ModelSet, default_model_dir
-    from hifimeth_tpu.features.windows import call_sites, featurize_planes
-
-    rng = np.random.default_rng(seed)
-    models = ModelSet(default_model_dir())
-    planes = rng.integers(0, 255, (5, cap)).astype(np.uint8)
-    planes[0] = rng.integers(0, 4, cap)
-    feats = featurize_planes(jnp.asarray(planes))
-    centers = rng.integers(200, cap - 200, site_batch).astype(np.int32)
-    strands = rng.integers(0, 2, site_batch).astype(np.uint8)
-    rstart = np.zeros(site_batch, np.int32)
-    rend = np.full(site_batch, cap, np.int32)
-    args = [jnp.asarray(a) for a in (centers, strands, rstart, rend)]
-    cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-
-    ctxs = list(models.params)
-    # warmup/compile
-    outs = [call_sites(models.params[c], feats, *args, kmer_size=models.kmer,
-                       compute_dtype=cd, spec=models.specs[c]) for c in ctxs]
-    jax.block_until_ready(outs)
-    t0 = time.time()
-    for _ in range(n_iters):
-        outs = [call_sites(models.params[c], feats, *args,
-                           kmer_size=models.kmer, compute_dtype=cd,
-                           spec=models.specs[c]) for c in ctxs]
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
-    return n_iters * site_batch * len(ctxs) / dt
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200)
