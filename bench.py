@@ -62,7 +62,9 @@ def main():
     ap.add_argument("--read-len", type=int, default=15000)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--site-batch", type=int, default=16384)
-    ap.add_argument("--conv-impl", default="auto", choices=["direct", "im2col", "auto"])
+    ap.add_argument("--conv-impl", default="direct",
+                    choices=["direct", "im2col", "auto"])
+    ap.add_argument("--gather-impl", default="slice", choices=["slice", "u8"])
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"
 
@@ -78,7 +80,8 @@ def main():
         out_bam = os.path.join(td, "out.bam")
 
         cfg = CallConfig(compute_dtype=dtype, site_batch=args.site_batch,
-                         conv_impl=args.conv_impl)
+                         conv_impl=args.conv_impl,
+                         gather_impl=args.gather_impl)
         # warm-up run compiles everything
         run_call(bam, out_bam, cfg)
         t0 = time.time()

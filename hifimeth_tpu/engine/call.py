@@ -57,6 +57,7 @@ class CallConfig:
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
     conv_impl: str = "direct"            # direct | im2col | auto
+    gather_impl: str = "slice"           # slice (f32 table) | u8 (raw planes)
     dense_layer1: bool = False           # densified first conv (a trous)
     data_parallel: bool = False          # shard site batches over local chips
     stats_json: str = ""                 # write machine-readable run stats
@@ -256,6 +257,8 @@ class CallEngine:
             rend = np.concatenate([rend, np.zeros(pad, np.int32)])
         kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
                   spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl)
+        if self.mesh is None and not self.cfg.dense_layer1:
+            kw["gather_impl"] = self.cfg.gather_impl
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "data"))
@@ -280,11 +283,18 @@ class CallEngine:
         t0 = time.perf_counter()
         futures = None
         if self._fill > self._margin:
-            planes_dev = jnp.asarray(self._planes)
-            if self.mesh is not None:
-                from ..parallel.mesh import replicated
-                planes_dev = jax.device_put(self._planes, replicated(self.mesh))
-            feats = featurize_planes(planes_dev)
+            if (self.cfg.gather_impl == "u8" and self.mesh is None
+                    and not self.cfg.dense_layer1):
+                # raw u8 planes, transposed (N, 5): the u8 slice gather
+                # featurizes per window, skipping the (N, 8) f32 table
+                feats = jnp.asarray(np.ascontiguousarray(self._planes.T))
+            else:
+                planes_dev = jnp.asarray(self._planes)
+                if self.mesh is not None:
+                    from ..parallel.mesh import replicated
+                    planes_dev = jax.device_put(self._planes,
+                                                replicated(self.mesh))
+                feats = featurize_planes(planes_dev)
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])

@@ -101,6 +101,38 @@ def gather_windows_slice(feats: jax.Array, centers: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("kmer_size",))
+def gather_windows_slice_u8(planes_t: jax.Array, centers: jax.Array,
+                            strands: jax.Array, rstart: jax.Array,
+                            rend: jax.Array,
+                            kmer_size: int = KMER_SIZE) -> jax.Array:
+    """Contiguous u8 slice gather: (N, 5) transposed planes -> (B, kmer, 8).
+
+    Fetches 5 B/position instead of the 32 B/position of the f32-table slice
+    (6.4x less fetch traffic) and featurizes per window (one-hot + codeV1
+    table on the small batch).  Same results as gather_windows_slice."""
+    hk = kmer_size // 2
+    starts = (centers - hk).astype(jnp.int32)
+
+    def slice_one(st):
+        return jax.lax.dynamic_slice(planes_t, (st, 0),
+                                     (kmer_size, planes_t.shape[1]))
+
+    w = jax.vmap(slice_one)(starts)                  # (B, kmer, 5) ascending
+    j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
+    pos = centers[:, None].astype(jnp.int32) + j[None, :]
+    valid = (pos >= rstart[:, None]) & (pos < rend[:, None])
+
+    codes = w[..., 0]
+    onehot = (codes[..., None] == jnp.arange(4, dtype=codes.dtype)).astype(jnp.float32)
+    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
+    kin = table[w[..., 1:5]]
+    out = jnp.concatenate([onehot, kin], axis=-1)
+    out = out * valid[..., None].astype(out.dtype)
+    out_rev = jnp.flip(out, axis=1)[..., jnp.asarray(REV_CHANNEL_PERM)]
+    return jnp.where((strands != 0)[:, None, None], out_rev, out)
+
+
+@partial(jax.jit, static_argnames=("kmer_size",))
 def gather_and_featurize(planes_t: jax.Array, centers: jax.Array,
                          strands: jax.Array, rstart: jax.Array,
                          rend: jax.Array,
@@ -319,14 +351,15 @@ def call_sites(params, feats: jax.Array, centers: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("site_batch", "kmer_size", "compute_dtype",
-                                   "spec", "conv_impl"))
+                                   "spec", "conv_impl", "gather_impl"))
 def call_sites_batched(params, feats: jax.Array, centers: jax.Array,
                        strands: jax.Array, rstart: jax.Array,
                        rend: jax.Array, site_batch: int,
                        kmer_size: int = KMER_SIZE,
                        compute_dtype=jnp.float32,
                        spec: tuple | None = None,
-                       conv_impl: str = "direct") -> jax.Array:
+                       conv_impl: str = "direct",
+                       gather_impl: str = "slice") -> jax.Array:
     """All sites of a flush in ONE device dispatch.
 
     The flat site arrays (length = n_batches * site_batch, host-padded) are
@@ -342,10 +375,12 @@ def call_sites_batched(params, feats: jax.Array, centers: jax.Array,
     n = centers.shape[0]
     assert n % site_batch == 0, "host must pad sites to a site_batch multiple"
     nb = n // site_batch
+    gather = (gather_windows_slice_u8 if gather_impl == "u8"
+              else gather_windows_slice)
 
     def one(batch):
         c, s, rs, re = batch
-        w = gather_windows_slice(feats, c, s, rs, re, kmer_size)
+        w = gather(feats, c, s, rs, re, kmer_size)
         w = jax.lax.optimization_barrier(w)
         logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
                                  spec=spec, conv_impl=conv_impl)
