@@ -60,7 +60,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200)
     ap.add_argument("--read-len", type=int, default=15000)
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--dtype", default="f32", choices=["bf16", "f32"])
     ap.add_argument("--site-batch", type=int, default=16384)
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
