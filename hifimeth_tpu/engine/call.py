@@ -28,7 +28,7 @@ import numpy as np
 
 from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
-from ..features.read_decode import decode_read, native_fwd_seq
+from ..features.read_decode import decode_read
 from ..features.windows import (call_sites_batched, call_sites_dense,
                                 call_sites_grid, featurize_planes)
 from ..io.bam import BamReader, BamRecord, BamWriter

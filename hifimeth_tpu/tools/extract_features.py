@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
 from ..features.read_decode import decode_read
 from ..io.bam import BamReader

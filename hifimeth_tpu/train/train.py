@@ -1,5 +1,5 @@
 """Training entry point (full optax trainer lands in train/trainer.py)."""
-import sys
+
 
 
 def main(argv):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
-import sys
+
 import time
 from dataclasses import dataclass
 from functools import partial
