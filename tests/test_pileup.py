@@ -369,3 +369,28 @@ def test_expand_alignment_hard_clip_and_skip(tmp_path):
     # qpos stalls during N; spos is absolute
     assert list(aln.qpos) == [0, 1, 2, 3, 3, 3, 3, 4, 5, 6, 7]
     assert list(aln.spos) == list(range(2, 13))
+
+
+def test_pileup_mapq_and_identity_filters(tmp_path):
+    """-q/-f filters drop reads from mapping but NOT from the histogram
+    (mapQ is checked after histogramming, pileup.cpp:274)."""
+    from hifimeth_tpu.quant.pileup import PileupConfig
+    rng = np.random.default_rng(23)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=25)
+    cfg = PileupConfig(min_mapq=30)
+    p1 = str(tmp_path / "q30")
+    s1 = run_pileup(str(fasta), str(bam), p1, cfg, spill_dir=str(tmp_path))
+    bins1, thr1, beds1 = brute_pileup(chroms, recs, min_mapq=30)
+    for m in range(3):
+        np.testing.assert_array_equal(s1["bins"][m], bins1[m])
+    for motif, ctx in enumerate(("CpG", "CHG", "CHH")):
+        got = [l.rstrip("\n") for l in open(f"{p1}.{ctx}.cov.bed")]
+        assert got == beds1[motif], f"{ctx} mapQ-filter mismatch"
+
+    cfg2 = PileupConfig(min_identity=95.0)
+    p2 = str(tmp_path / "pi95")
+    run_pileup(str(fasta), str(bam), p2, cfg2, spill_dir=str(tmp_path))
+    _, _, beds2 = brute_pileup(chroms, recs, min_pi=95.0)
+    for motif, ctx in enumerate(("CpG", "CHG", "CHH")):
+        got = [l.rstrip("\n") for l in open(f"{p2}.{ctx}.cov.bed")]
+        assert got == beds2[motif], f"{ctx} identity-filter mismatch"
