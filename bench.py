@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
     ap.add_argument("--gather-impl", default="slice", choices=["slice", "u8"])
+    ap.add_argument("--feat-channels", type=int, default=8)
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"
 
@@ -81,7 +82,8 @@ def main():
 
         cfg = CallConfig(compute_dtype=dtype, site_batch=args.site_batch,
                          conv_impl=args.conv_impl,
-                         gather_impl=args.gather_impl)
+                         gather_impl=args.gather_impl,
+                         feat_channels=args.feat_channels)
         # warm-up run compiles everything
         run_call(bam, out_bam, cfg)
         t0 = time.time()

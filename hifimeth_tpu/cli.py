@@ -76,6 +76,8 @@ def _parse_call(argv):
             cfg.data_parallel = True; i += 1
         elif a == "--dense-layer1":
             cfg.dense_layer1 = True; i += 1
+        elif a == "--feat-channels":
+            cfg.feat_channels = int(argv[i + 1]); i += 2
         elif a == "--gather-impl":
             cfg.gather_impl = argv[i + 1]; i += 2
         elif a == "--stats-json":

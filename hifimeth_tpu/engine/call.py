@@ -58,6 +58,8 @@ class CallConfig:
     compute_dtype: str = "float32"       # or "bfloat16"
     conv_impl: str = "direct"            # direct | im2col | auto
     gather_impl: str = "slice"           # slice (f32 table) | u8 (raw planes)
+    feat_channels: int = 8               # zero-pad table width (8|32|128):
+                                         # wider rows = faster window fetch
     dense_layer1: bool = False           # densified first conv (a trous)
     data_parallel: bool = False          # shard site batches over local chips
     stats_json: str = ""                 # write machine-readable run stats
@@ -78,7 +80,8 @@ class _PendingRead:
 class ModelSet:
     """Per-context CNN parameters living on the device."""
 
-    def __init__(self, model_dir: str, contexts=CONTEXTS):
+    def __init__(self, model_dir: str, contexts=CONTEXTS,
+                 feat_channels: int = 8):
         self.params = {}
         self.specs = {}
         self.kmer = KMER_SIZE
@@ -93,6 +96,14 @@ class ModelSet:
                     f"model file {path} not found; run `hifimeth-tpu import-model` "
                     f"to convert reference ONNX models")
             params = load_params_npz(path)
+            if feat_channels > 8:
+                # zero-pad bn0 + conv1 input channels to the widened table
+                # width - bit-identical outputs, faster slice fetches
+                pad = feat_channels - 8
+                params["bn0"]["scale"] = np.pad(params["bn0"]["scale"], (0, pad))
+                params["bn0"]["shift"] = np.pad(params["bn0"]["shift"], (0, pad))
+                w1 = params["convs"][0]["w"]
+                params["convs"][0]["w"] = np.pad(w1, ((0, 0), (0, pad), (0, 0)))
             self.specs[ctx] = conv_spec(params)
             # device-put weight tensors; geometry lives in the static spec
             self.params[ctx] = {
@@ -123,7 +134,8 @@ class CallEngine:
     def __init__(self, cfg: CallConfig):
         self.cfg = cfg
         enable_compilation_cache()
-        self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts)
+        self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts,
+                               feat_channels=cfg.feat_channels)
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
         self.mesh = None
@@ -294,7 +306,8 @@ class CallEngine:
                     from ..parallel.mesh import replicated
                     planes_dev = jax.device_put(self._planes,
                                                 replicated(self.mesh))
-                feats = featurize_planes(planes_dev)
+                feats = featurize_planes(planes_dev,
+                                         out_channels=self.cfg.feat_channels)
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])

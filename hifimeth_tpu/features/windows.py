@@ -35,14 +35,23 @@ from ..model.cnn import dnamodnet_apply, logits_to_scaled_probs
 REV_CHANNEL_PERM = np.array([3, 2, 1, 0, 6, 7, 4, 5], dtype=np.int32)
 
 
-@jax.jit
-def featurize_planes(planes: jax.Array) -> jax.Array:
-    """(5, N) u8 packed planes -> (N, 8) float32 per-base feature table."""
+@partial(jax.jit, static_argnames=("out_channels",))
+def featurize_planes(planes: jax.Array, out_channels: int = 8) -> jax.Array:
+    """(5, N) u8 packed planes -> (N, out_channels) float32 feature table.
+
+    out_channels > 8 zero-pads the trailing channels: TPU dynamic-slice
+    fetch bandwidth scales with how much of the 128-lane row each slice
+    uses, so a wider (zero-padded) table makes the per-site window fetch
+    proportionally faster at the cost of table memory; conv1 weights are
+    zero-padded to match (engine), keeping results bit-identical."""
     codes = planes[0]
     onehot = (codes[:, None] == jnp.arange(4, dtype=codes.dtype)).astype(jnp.float32)
     table = jnp.asarray(CODEV1_TO_FRAME_NORM)
     kin = table[planes[1:5]]                       # (4, N) f32
-    return jnp.concatenate([onehot, kin.T], axis=1)
+    out = jnp.concatenate([onehot, kin.T], axis=1)
+    if out_channels > 8:
+        out = jnp.pad(out, ((0, 0), (0, out_channels - 8)))
+    return out
 
 
 @partial(jax.jit, static_argnames=("kmer_size",))
@@ -91,12 +100,14 @@ def gather_windows_slice(feats: jax.Array, centers: jax.Array,
     def slice_one(st):
         return jax.lax.dynamic_slice(feats, (st, 0), (kmer_size, feats.shape[1]))
 
-    w = jax.vmap(slice_one)(starts)                  # (B, kmer, 8) ascending
+    w = jax.vmap(slice_one)(starts)                  # (B, kmer, C) ascending
     j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
     pos = centers[:, None].astype(jnp.int32) + j[None, :]
     valid = (pos >= rstart[:, None]) & (pos < rend[:, None])
     w = w * valid[..., None].astype(w.dtype)
-    w_rev = jnp.flip(w, axis=1)[..., jnp.asarray(REV_CHANNEL_PERM)]
+    C = w.shape[-1]
+    perm = np.concatenate([REV_CHANNEL_PERM, np.arange(8, C, dtype=np.int32)])
+    w_rev = jnp.flip(w, axis=1)[..., jnp.asarray(perm)]
     return jnp.where((strands != 0)[:, None, None], w_rev, w)
 
 

@@ -108,3 +108,22 @@ def test_call_empty_bam(tmp_path):
     stats = run_call(str(in_bam), str(out_bam), CallConfig(contexts=("CpG",)))
     assert stats["reads"] == 0
     assert list(BamReader(out_bam)) == []
+
+
+def test_feat_channels_padding_identical(tmp_path):
+    """feat_channels=32 (widened slice rows) must give byte-identical tags."""
+    rng = np.random.default_rng(77)
+    recs = [make_kinetics_read(rng, f"r{i}", 1300) for i in range(4)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    a_bam = tmp_path / "a.bam"
+    b_bam = tmp_path / "b.bam"
+    run_call(str(in_bam), str(a_bam), CallConfig(contexts=("CpG", "CHH"),
+                                                 site_batch=256))
+    run_call(str(in_bam), str(b_bam), CallConfig(contexts=("CpG", "CHH"),
+                                                 site_batch=256,
+                                                 feat_channels=32))
+    for ra, rb in zip(BamReader(a_bam), BamReader(b_bam)):
+        assert ra.get_tag("MM") == rb.get_tag("MM")
+        np.testing.assert_array_equal(ra.get_tag("ML")[1][1],
+                                      rb.get_tag("ML")[1][1])
