@@ -46,6 +46,12 @@ def _parse_call(argv):
     i = 0
     while i < len(argv):
         a = argv[i]
+        if a in ("-h", "--help"):
+            pos = []          # force the usage branch below
+            break
+        if a in ("-v", "--version"):
+            print(__version__)
+            raise SystemExit(0)
         if a in ("-m", "--model-dir"):
             cfg.model_dir = argv[i + 1]; i += 2
         elif a in ("-l", "--min-read-size"):
@@ -155,6 +161,9 @@ def main(argv=None) -> int:
         i = 0
         while i < len(rest):
             a = rest[i]
+            if a in ("-h", "--help"):
+                pos = []
+                break
             if a in ("-q", "--min-mapq"):
                 cfg.min_mapq = int(rest[i + 1]); i += 2
             elif a in ("-f", "--min-identity"):
