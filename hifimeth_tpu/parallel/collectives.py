@@ -59,6 +59,37 @@ def psum_site_counts(mesh: Mesh, pcov_shards: np.ndarray,
     return np.asarray(gp)[0], np.asarray(gc)[0]
 
 
+def psum_histograms_multihost(local_bins: np.ndarray) -> np.ndarray:
+    """Cross-PROCESS histogram all-reduce for jax.distributed runs.
+
+    Each process contributes its local (3, 256) bins; the psum over the
+    process-spanning device mesh returns the global bins to every process.
+    Doubles as the pass-1 -> pass-2 barrier of distributed pileup."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    # one leading-axis row per LOCAL device (a process may hold several,
+    # e.g. virtual CPU meshes); this process's bins ride on row 0, zeros on
+    # the rest, so the psum over all rows is exactly the cross-process sum
+    n_local = len(jax.local_devices())
+    local = np.zeros((n_local, 3, 256), np.int64)
+    local[0] = np.asarray(local_bins, np.int64)
+    g = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("data"))
+
+    @partial(shard_map, mesh=mesh, in_specs=P("data", None, None),
+             out_specs=P("data", None, None))
+    def _merge(b):
+        return jax.lax.psum(b, "data")
+
+    out = _merge(g)
+    lo = multihost_utils.global_array_to_host_local_array(
+        out, mesh, P("data", None, None))
+    return np.asarray(lo)[0]
+
+
 def all_gather_u8(mesh: Mesh, local: np.ndarray) -> np.ndarray:
     """Gather per-shard u8 result vectors (n_shards, B) -> (n_shards*B,) in
     shard order; the deterministic-ordering analog of the reference's

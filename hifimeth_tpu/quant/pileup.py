@@ -415,6 +415,54 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
             "bed_rows": rows, "bins": bins}
 
 
+def run_pileup_multihost(reference_path: str, mod_bam_path: str,
+                         output_prefix: str, shard,
+                         cfg: PileupConfig | None = None,
+                         spill_dir: str | None = None) -> dict:
+    """True multi-host pileup under jax.distributed.
+
+    Every process: pass 1 over its round-robin read shard -> spill to the
+    deterministic shared path `{output_prefix}.spill{pid}` -> psum the
+    histograms across processes (which doubles as the pass-1 barrier) ->
+    pass 2 over its chromosome range reading every process's spill -> write
+    per-shard BEDs.  Process 0 concatenates afterwards with
+    merge_pileup_shards (or the merge-pileup-shards CLI)."""
+    from ..parallel.collectives import psum_histograms_multihost
+    from ..parallel.dist import chromosome_ranges
+
+    cfg = cfg or PileupConfig()
+    reader = BamReader(mod_bam_path, threads=cfg.io_threads)
+    hdr = reader.header
+    db = FastaDatabase(reference_path)
+    bins = np.zeros((3, 256), np.int64)
+    spill = PileupSpill(db.num_seqs, dir=spill_dir)
+    n_reads = _pass1_stream(reader, hdr, db, cfg, shard, bins, spill)
+    reader.close()
+    spill.finish()
+    my_spill = f"{output_prefix}.spill{shard.process_id}"
+    os.replace(spill.path, my_spill)
+    spill.path = my_spill
+
+    # collective histogram merge == cross-process barrier: when it returns,
+    # every process's spill file exists on the shared filesystem
+    bins = psum_histograms_multihost(bins)
+    thresholds = np.array([
+        resolve_threshold(bins[0], "CpG"),
+        resolve_threshold(bins[1], "CHG"),
+        resolve_threshold(bins[2], "CHH"),
+    ], np.uint8)
+
+    sources = []
+    for p in range(shard.num_processes):
+        path = f"{output_prefix}.spill{p}"
+        sources.append(spill if p == shard.process_id else _ExternalSpill(path))
+    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
+    suffix = f".shard{shard.process_id:04d}"
+    rows = _pass2(db, thresholds, sources, output_prefix, my_chroms, suffix)
+    return {"reads": n_reads, "thresholds": thresholds.tolist(),
+            "bed_rows": rows, "bins": bins}
+
+
 def merge_pileup_shards(output_prefix: str, n_shards: int) -> None:
     """Concatenate per-shard BED files; chromosome order is preserved because
     each shard owns a disjoint chromosome set emitted in sid order (the
