@@ -221,12 +221,20 @@ def main(argv=None) -> int:
 
     if cmd == "eval":
         from .tools.evaltool import run_eval
-        if len(rest) != 4:
-            print(f"USAGE:\n  {PROG} eval reference bismark-bed mod-bam "
-                  "output-prefix", file=sys.stderr)
+        workers = 1
+        pos = []
+        i = 0
+        while i < len(rest):
+            if rest[i] in ("-t", "--workers"):
+                workers = int(rest[i + 1]); i += 2
+            else:
+                pos.append(rest[i]); i += 1
+        if len(pos) != 4:
+            print(f"USAGE:\n  {PROG} eval [-t workers] reference bismark-bed "
+                  "mod-bam output-prefix", file=sys.stderr)
             return 1
         with program_info(PROG):
-            run_eval(*rest)
+            run_eval(*pos, workers=workers)
         return 0
 
     if cmd == "read-level-eval":

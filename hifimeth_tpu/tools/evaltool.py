@@ -64,11 +64,26 @@ def load_bismark_labels(db_sizes: dict[str, int], bed_path: str):
     return labels
 
 
-def compute_histogram_thresholds(mod_bam_path: str, io_threads: int = 8):
+def compute_histogram_thresholds(mod_bam_path: str, io_threads: int = 8,
+                                 shard=None):
     """Full-BAM histogram pass (eval.cpp:153-211): primary reads only."""
+    bins = compute_histogram_bins(mod_bam_path, io_threads, shard)
+    return (resolve_threshold(bins[0], "CpG"),
+            resolve_threshold(bins[1], "CHG"),
+            resolve_threshold(bins[2], "CHH"))
+
+
+def compute_histogram_bins(mod_bam_path: str, io_threads: int = 8,
+                           shard=None) -> np.ndarray:
+    from ..parallel.dist import ShardSpec
+    shard = shard or ShardSpec()
     bins = np.zeros((3, 256), np.int64)
     reader = BamReader(mod_bam_path, threads=io_threads)
+    read_id = -1
     for rec in reader:
+        read_id += 1
+        if not shard.owns_read(read_id):
+            continue
         if rec.is_secondary_or_supplementary:
             continue
         fwd_seq = native_fwd_seq(rec)
@@ -83,9 +98,7 @@ def compute_histogram_thresholds(mod_bam_path: str, io_threads: int = 8):
             if sel.any():
                 bins[m] += np.bincount(pr[sel], minlength=256)
     reader.close()
-    return (resolve_threshold(bins[0], "CpG"),
-            resolve_threshold(bins[1], "CHG"),
-            resolve_threshold(bins[2], "CHH"))
+    return bins
 
 
 def oversample(arr: np.ndarray, ctx: str, label: str,
@@ -115,12 +128,13 @@ def dump_samples(rng, pos: np.ndarray, neg: np.ndarray, threshold: int,
                 out.write(f"0\t{1 if v >= threshold else 0}\t{v / 255:g}\n")
 
 
-def run_eval(reference_path: str, bismark_bed_path: str, mod_bam_path: str,
-             output_prefix: str, io_threads: int = 8, seed: int | None = None,
-             replicates: int = 5) -> dict:
-    thr = compute_histogram_thresholds(mod_bam_path, io_threads)
-
-    db = FastaDatabase(reference_path)
+def _sample_pass(reference_path, bismark_bed_path, mod_bam_path,
+                 io_threads, seed, shard=None):
+    """Label-matching pass over a read shard; returns the per-context
+    positive/negative prob pools."""
+    from ..parallel.dist import ShardSpec
+    shard = shard or ShardSpec()
+    db = FastaDatabase(reference_path, quiet=True)
     reader = BamReader(mod_bam_path, threads=io_threads)
     hdr = reader.header
     sizes = {name: length for name, length in hdr.refs}
@@ -129,7 +143,11 @@ def run_eval(reference_path: str, bismark_bed_path: str, mod_bam_path: str,
     rng = np.random.default_rng(seed)
     pools = {m: {0: [], 1: []} for m in range(3)}   # motif -> label -> probs
 
+    read_id = -1
     for rec in reader:
+        read_id += 1
+        if not shard.owns_read(read_id):
+            continue
         fwd_seq = native_fwd_seq(rec)
         qoffs, strands, codes, probs = parse_mod_tags_flat(rec, fwd_seq)
         if len(qoffs) == 0:
@@ -163,7 +181,51 @@ def run_eval(reference_path: str, bismark_bed_path: str, mod_bam_path: str,
                 neg = neg[rng.random(len(neg)) <= 0.1]
             pools[motif][0].append(neg)
     reader.close()
+    return pools
 
+
+def _eval_worker(args):
+    kind, params = args
+    if kind == "bins":
+        return compute_histogram_bins(params[0], 2, params[1])
+    return _sample_pass(*params)
+
+
+def run_eval(reference_path: str, bismark_bed_path: str, mod_bam_path: str,
+             output_prefix: str, io_threads: int = 8, seed: int | None = None,
+             replicates: int = 5, workers: int = 1) -> dict:
+    """Read-level benchmark extraction; workers > 1 fans both BAM passes out
+    over local processes (the analog of the reference's 16-thread pool,
+    eval.cpp:633-640)."""
+    from ..parallel.dist import ShardSpec
+
+    if workers > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(workers) as pool:
+            bin_parts = pool.map(_eval_worker, [
+                ("bins", (mod_bam_path, ShardSpec(i, workers, 100)))
+                for i in range(workers)])
+            bins = np.sum(bin_parts, axis=0)
+            thr = (resolve_threshold(bins[0], "CpG"),
+                   resolve_threshold(bins[1], "CHG"),
+                   resolve_threshold(bins[2], "CHH"))
+            pool_parts = pool.map(_eval_worker, [
+                ("samples", (reference_path, bismark_bed_path, mod_bam_path,
+                             2, None if seed is None else seed + i,
+                             ShardSpec(i, workers, 100)))
+                for i in range(workers)])
+        pools = {m: {0: [], 1: []} for m in range(3)}
+        for part in pool_parts:
+            for m in range(3):
+                pools[m][0].extend(part[m][0])
+                pools[m][1].extend(part[m][1])
+    else:
+        thr = compute_histogram_thresholds(mod_bam_path, io_threads)
+        pools = _sample_pass(reference_path, bismark_bed_path, mod_bam_path,
+                             io_threads, seed)
+
+    rng = np.random.default_rng(seed)
     result = {}
     for motif, ctx in enumerate(("CpG", "CHG", "CHH")):
         pos = np.concatenate(pools[motif][1]) if pools[motif][1] else np.empty(0, np.uint8)

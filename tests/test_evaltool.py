@@ -83,3 +83,27 @@ def test_sample_tool(tmp_path):
     got = list(BamReader(out_bam))
     assert len(got) == 5
     assert all(r.qname not in ("short", "nokin") for r in got)
+
+
+def test_run_eval_workers_equivalent_thresholds(tmp_path):
+    """workers>1 must give identical thresholds and total pool sizes for the
+    non-sampled contexts (CHH negatives are rng-downsampled, so only CpG/CHG
+    counts are deterministic)."""
+    rng = np.random.default_rng(41)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=30)
+    bed = tmp_path / "labels.bed"
+    rows = []
+    for name, seq in chroms.items():
+        for i, ch in enumerate(seq):
+            if ch in "CG":
+                lab = "100\t12\t0" if i % 2 else "0\t0\t12"
+                rows.append(f"{name}\t{i}\t{i + 1}\t{lab}")
+    bed.write_text("\n".join(rows) + "\n")
+
+    r1 = run_eval(str(fasta), str(bed), str(bam), str(tmp_path / "a"),
+                  seed=0, replicates=1)
+    r2 = run_eval(str(fasta), str(bed), str(bam), str(tmp_path / "b"),
+                  seed=0, replicates=1, workers=3)
+    assert r1["thresholds"] == r2["thresholds"]
+    for ctx in ("CpG", "CHG"):
+        assert r1[ctx] == r2[ctx], ctx
