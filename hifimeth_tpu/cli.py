@@ -28,6 +28,7 @@ COMMANDS:
   eval             Extract read-level evaluation samples vs BS-seq labels
   read-level-eval  Score eval output files (accuracy/precision/.../AUC/AP)
   merge-shards     Interleave per-host shard BAMs into global read order
+  merge-pileup-shards  Concatenate per-host pileup BED shards
   import-model     Convert reference ONNX models to native .npz
   export-model     Convert a native .npz model back to ONNX
   extract-features Build training feature blobs from BAM + BS-seq labels
@@ -152,6 +153,15 @@ def main(argv=None) -> int:
             return 1
         n = merge_shard_bams(pos[0], pos[1:], batch_size=batch)
         log("merged %d records into %s", n, pos[0])
+        return 0
+
+    if cmd == "merge-pileup-shards":
+        from .quant.pileup import merge_pileup_shards
+        if len(rest) != 2:
+            print(f"USAGE:\n  {PROG} merge-pileup-shards output-prefix "
+                  "n-shards", file=sys.stderr)
+            return 1
+        merge_pileup_shards(rest[0], int(rest[1]))
         return 0
 
     if cmd == "pileup":
