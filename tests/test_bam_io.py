@@ -126,3 +126,20 @@ def test_header_sort_order():
     hdr2 = hdr.with_pg_line("hifimeth-tpu", "0.1", "call a b")
     assert "@PG\tID:hifimeth-tpu" in hdr2.text
     assert hdr2.sort_order() == "coordinate"
+
+
+def test_bgzf_python_fallback(tmp_path, monkeypatch):
+    """The pure-Python BGZF paths must work when the native lib is absent."""
+    import hifimeth_tpu.io.native as native
+    monkeypatch.setattr(native, "_LIB", False)
+    assert not native.available()
+    p = tmp_path / "py.bgzf"
+    data = b"fallback path " * 50000
+    w = BgzfWriter(p, threads=2)
+    w.write(data)
+    w.close()
+    assert w._native is None
+    r = BgzfReader(p, threads=2)
+    assert r._native is None
+    assert r.read_all() == data
+    r.close()
