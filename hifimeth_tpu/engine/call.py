@@ -248,10 +248,63 @@ class CallEngine:
                 return b
         return nb
 
+    #: block-local fetch geometry (gather_impl="blocked")
+    BLOCK_ROWS = 1 << 17
+
+    def _call_context_blocked(self, ctx: str, feats, s):
+        """Experimental block-local fetch: sort sites by position, pack
+        batches capped at (site_batch sites, BLOCK_ROWS - kmer span), call
+        call_sites_blocked, and unsort the probs."""
+        from ..features.windows import call_sites_blocked
+
+        centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
+        n = len(centers)
+        if n == 0:
+            return n, None
+        strands = np.concatenate(s["strands"])
+        rstart = np.concatenate(s["rstart"])
+        rend = np.concatenate(s["rend"])
+        order = np.argsort(centers, kind="stable")
+        c_s, st_s, rs_s, re_s = (a[order] for a in (centers, strands, rstart, rend))
+
+        bs = self.cfg.site_batch
+        max_span = self.BLOCK_ROWS - self.models.kmer - 8
+        groups = []
+        i = 0
+        while i < n:
+            j = min(i + bs, n)
+            if c_s[j - 1] - c_s[i] > max_span:
+                j = i + int(np.searchsorted(c_s[i:j], c_s[i] + max_span,
+                                            side="right"))
+                j = max(j, i + 1)
+            groups.append((i, j))
+            i = j
+        nb = self._bucket_batches(len(groups))
+        out_c = np.zeros(nb * bs, np.int32)
+        out_st = np.zeros(nb * bs, np.uint8)
+        out_rs = np.zeros(nb * bs, np.int32)
+        out_re = np.zeros(nb * bs, np.int32)
+        for g, (lo, hi) in enumerate(groups):
+            out_c[g * bs:g * bs + hi - lo] = c_s[lo:hi]
+            out_st[g * bs:g * bs + hi - lo] = st_s[lo:hi]
+            out_rs[g * bs:g * bs + hi - lo] = rs_s[lo:hi]
+            out_re[g * bs:g * bs + hi - lo] = re_s[lo:hi]
+        probs_dev = call_sites_blocked(
+            self.models.params[ctx], feats,
+            jnp.asarray(out_c), jnp.asarray(out_st),
+            jnp.asarray(out_rs), jnp.asarray(out_re),
+            site_batch=bs, kmer_size=self.models.kmer,
+            compute_dtype=self.compute_dtype, spec=self.models.specs[ctx],
+            conv_impl=self.cfg.conv_impl, block_rows=self.BLOCK_ROWS)
+        return n, (probs_dev, groups, order, bs)
+
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
         device array future (fetch with np.asarray later to overlap the
         three contexts)."""
+        if (self.cfg.gather_impl == "blocked" and self.mesh is None
+                and not self.cfg.dense_layer1):
+            return self._call_context_blocked(ctx, feats, s)
         centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
         n = len(centers)
         if n == 0:
@@ -332,12 +385,23 @@ class CallEngine:
     def _emit(self, inflight, out: list):
         pending, futures = inflight
         t0 = time.perf_counter()
-        if futures is not None:
-            probs = {ctx: (np.asarray(f)[:n] if f is not None
-                           else np.empty(0, np.uint8))
-                     for ctx, (n, f) in futures.items()}
-        else:
-            probs = {ctx: np.empty(0, np.uint8) for ctx in self.cfg.contexts}
+        probs = {}
+        for ctx in self.cfg.contexts:
+            n, f = futures[ctx] if futures is not None else (0, None)
+            if f is None:
+                probs[ctx] = np.empty(0, np.uint8)
+            elif isinstance(f, tuple):
+                # blocked-mode result: unpack span-capped batches + unsort
+                probs_dev, groups, order, bs = f
+                flat = np.asarray(probs_dev)
+                sorted_probs = np.empty(n, np.uint8)
+                for g, (lo, hi) in enumerate(groups):
+                    sorted_probs[lo:hi] = flat[g * bs:g * bs + hi - lo]
+                unsorted = np.empty(n, np.uint8)
+                unsorted[order] = sorted_probs
+                probs[ctx] = unsorted
+            else:
+                probs[ctx] = np.asarray(f)[:n]
         self.timers["device_wait"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
