@@ -87,6 +87,10 @@ def _parse_call(argv):
             cfg.feat_channels = int(argv[i + 1]); i += 2
         elif a == "--gather-impl":
             cfg.gather_impl = argv[i + 1]; i += 2
+            if cfg.gather_impl not in ("slice", "u8", "blocked", "folded"):
+                raise SystemExit(
+                    f"Illegal argument to option '--gather-impl': "
+                    f"{cfg.gather_impl} (expected slice|u8|blocked|folded)")
         elif a == "--stats-json":
             cfg.stats_json = argv[i + 1]; i += 2
         elif a == "--shard":

@@ -30,7 +30,8 @@ from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
 from ..features.read_decode import decode_read
 from ..features.windows import (call_sites_batched, call_sites_dense,
-                                call_sites_grid, featurize_planes)
+                                call_sites_grid, featurize_planes,
+                                featurize_planes_folded)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -133,6 +134,11 @@ def enable_compilation_cache():
 class CallEngine:
     def __init__(self, cfg: CallConfig):
         self.cfg = cfg
+        if cfg.gather_impl == "folded" and cfg.feat_channels != 8:
+            from ..utils.logging import warn
+            warn("--feat-channels is ignored with --gather-impl folded "
+                 "(the folded table is always 16 positions x 8 channels)")
+            cfg.feat_channels = 8
         enable_compilation_cache()
         self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts,
                                feat_channels=cfg.feat_channels)
@@ -359,8 +365,12 @@ class CallEngine:
                     from ..parallel.mesh import replicated
                     planes_dev = jax.device_put(self._planes,
                                                 replicated(self.mesh))
-                feats = featurize_planes(planes_dev,
-                                         out_channels=self.cfg.feat_channels)
+                if (self.cfg.gather_impl == "folded" and self.mesh is None
+                        and not self.cfg.dense_layer1):
+                    feats = featurize_planes_folded(planes_dev)
+                else:
+                    feats = featurize_planes(planes_dev,
+                                             out_channels=self.cfg.feat_channels)
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])

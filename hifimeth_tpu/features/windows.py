@@ -111,6 +111,62 @@ def gather_windows_slice(feats: jax.Array, centers: jax.Array,
     return jnp.where((strands != 0)[:, None, None], w_rev, w)
 
 
+@partial(jax.jit, static_argnames=("fold",))
+def featurize_planes_folded(planes: jax.Array, fold: int = 16) -> jax.Array:
+    """(5, N) u8 packed planes -> (N/fold, fold*8) position-major folded
+    feature table for gather_windows_folded.  N must be a fold multiple
+    (engine buffer capacities are powers of two)."""
+    feats = featurize_planes(planes)
+    return feats.reshape(feats.shape[0] // fold, fold * feats.shape[1])
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "fold"))
+def gather_windows_folded(folded: jax.Array, centers: jax.Array,
+                          strands: jax.Array, rstart: jax.Array,
+                          rend: jax.Array, kmer_size: int = KMER_SIZE,
+                          fold: int = 16) -> jax.Array:
+    """Folded-table window gather: (N/fold, fold*8) f32 -> (B, kmer, 8).
+
+    The per-base feature table is position-major folded so each 128-lane row
+    holds `fold` consecutive positions; one window fetch becomes
+    ceil((kmer+fold-1)/fold) full-width rows (26 for kmer=401, fold=16)
+    instead of kmer narrow 8-lane rows - TPU dynamic-slice fetch cost scales
+    with row count, not bytes, so this cuts the dominant window-fetch time
+    ~15x.  The sub-row phase (start mod fold) is fixed afterwards with a
+    log2(fold)-level static-shift select tree, which XLA fuses into a single
+    elementwise pass.  Bit-identical to gather_windows_slice.
+
+    Caller contract: `folded` is featurize_planes(...).reshape(N//fold, -1)
+    with N % fold == 0 and the engine's kmer-sized zero margins.
+    """
+    hk = kmer_size // 2
+    C = folded.shape[1] // fold
+    frows = (kmer_size + fold - 1 + (fold - 1)) // fold
+    start = (centers - hk).astype(jnp.int32)
+    r0 = jnp.clip(start // fold, 0, folded.shape[0] - frows)
+    d = start - r0 * fold                       # phase in [0, fold)
+
+    def slice_one(r):
+        return jax.lax.dynamic_slice(folded, (r, 0), (frows, folded.shape[1]))
+
+    w = jax.vmap(slice_one)(r0)                  # (B, frows, fold*C)
+    B = w.shape[0]
+    w = w.reshape(B, frows * fold, C)
+    bit = fold >> 1
+    while bit:
+        keep = w.shape[1] - bit
+        w = jnp.where(((d & bit) > 0)[:, None, None], w[:, bit:bit + keep],
+                      w[:, :keep])
+        bit >>= 1
+    w = w[:, :kmer_size]
+    j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
+    pos = centers[:, None].astype(jnp.int32) + j[None, :]
+    valid = (pos >= rstart[:, None]) & (pos < rend[:, None])
+    w = w * valid[..., None].astype(w.dtype)
+    w_rev = jnp.flip(w, axis=1)[..., jnp.asarray(REV_CHANNEL_PERM)]
+    return jnp.where((strands != 0)[:, None, None], w_rev, w)
+
+
 @partial(jax.jit, static_argnames=("kmer_size",))
 def gather_windows_slice_u8(planes_t: jax.Array, centers: jax.Array,
                             strands: jax.Array, rstart: jax.Array,
@@ -441,8 +497,9 @@ def call_sites_batched(params, feats: jax.Array, centers: jax.Array,
     n = centers.shape[0]
     assert n % site_batch == 0, "host must pad sites to a site_batch multiple"
     nb = n // site_batch
-    gather = (gather_windows_slice_u8 if gather_impl == "u8"
-              else gather_windows_slice)
+    gather = {"u8": gather_windows_slice_u8,
+              "folded": gather_windows_folded}.get(gather_impl,
+                                                   gather_windows_slice)
 
     def one(batch):
         c, s, rs, re = batch

@@ -77,3 +77,68 @@ def test_u8_slice_gather_matches_f32_slice():
                                            jnp.asarray(rstart),
                                            jnp.asarray(rend)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_folded_gather_matches_f32_slice():
+    from hifimeth_tpu.features.windows import (featurize_planes_folded,
+                                               gather_windows_folded)
+
+    rng = np.random.default_rng(3)
+    cap = 4096                               # multiple of 16
+    margin = 401
+    planes = np.zeros((5, cap), np.uint8)
+    planes[0].fill(255)
+    planes[0, margin:cap - margin] = rng.integers(0, 4, cap - 2 * margin)
+    planes[1:, margin:cap - margin] = rng.integers(0, 256, (4, cap - 2 * margin))
+    B = 256
+    centers = rng.integers(margin, cap - margin, B).astype(np.int32)
+    strands = rng.integers(0, 2, B).astype(np.uint8)
+    rstart = np.full(B, margin, np.int32)
+    rend = np.full(B, cap - margin, np.int32)
+    rstart[::3] = centers[::3] - 37
+    rend[::5] = centers[::5] + 11
+    # padded dummy sites (center 0, empty bounds) must not crash/clamp wrong
+    centers[:4] = 0
+    rstart[:4] = 0
+    rend[:4] = 0
+
+    feats = featurize_planes(jnp.asarray(planes))
+    folded = featurize_planes_folded(jnp.asarray(planes))
+    a = np.asarray(gather_windows_slice(feats, jnp.asarray(centers),
+                                        jnp.asarray(strands),
+                                        jnp.asarray(rstart),
+                                        jnp.asarray(rend)))
+    b = np.asarray(gather_windows_folded(folded, jnp.asarray(centers),
+                                         jnp.asarray(strands),
+                                         jnp.asarray(rstart),
+                                         jnp.asarray(rend)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_folded_gather_every_phase():
+    # one site at every start-mod-16 phase: the select-tree realignment must
+    # be exact for all 16 phases
+    from hifimeth_tpu.features.windows import (featurize_planes_folded,
+                                               gather_windows_folded)
+
+    rng = np.random.default_rng(4)
+    cap = 2048
+    margin = 401
+    planes = np.zeros((5, cap), np.uint8)
+    planes[0].fill(255)
+    planes[0, margin:cap - margin] = rng.integers(0, 4, cap - 2 * margin)
+    planes[1:, margin:cap - margin] = rng.integers(0, 256, (4, cap - 2 * margin))
+    centers = (margin + 300 + np.arange(16)).astype(np.int32)
+    strands = np.tile([0, 1], 8).astype(np.uint8)
+    rstart = np.full(16, margin, np.int32)
+    rend = np.full(16, cap - margin, np.int32)
+
+    feats = featurize_planes(jnp.asarray(planes))
+    folded = featurize_planes_folded(jnp.asarray(planes))
+    a = np.asarray(gather_windows_slice(feats, jnp.asarray(centers),
+                                        jnp.asarray(strands),
+                                        jnp.asarray(rstart), jnp.asarray(rend)))
+    b = np.asarray(gather_windows_folded(folded, jnp.asarray(centers),
+                                         jnp.asarray(strands),
+                                         jnp.asarray(rstart), jnp.asarray(rend)))
+    np.testing.assert_array_equal(a, b)
