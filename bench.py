@@ -64,8 +64,9 @@ def main():
     ap.add_argument("--site-batch", type=int, default=16384)
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
-    ap.add_argument("--gather-impl", default="slice",
-                    choices=["slice", "u8", "blocked", "folded"])
+    ap.add_argument("--gather-impl", default="auto",
+                    choices=["auto", "slice", "u8", "blocked", "folded",
+                             "pallas"])
     ap.add_argument("--feat-channels", type=int, default=8)
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"

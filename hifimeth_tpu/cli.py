@@ -87,10 +87,12 @@ def _parse_call(argv):
             cfg.feat_channels = int(argv[i + 1]); i += 2
         elif a == "--gather-impl":
             cfg.gather_impl = argv[i + 1]; i += 2
-            if cfg.gather_impl not in ("slice", "u8", "blocked", "folded"):
+            if cfg.gather_impl not in ("auto", "slice", "u8", "blocked",
+                                       "folded", "pallas"):
                 raise SystemExit(
                     f"Illegal argument to option '--gather-impl': "
-                    f"{cfg.gather_impl} (expected slice|u8|blocked|folded)")
+                    f"{cfg.gather_impl} "
+                    f"(expected auto|slice|u8|blocked|folded|pallas)")
         elif a == "--stats-json":
             cfg.stats_json = argv[i + 1]; i += 2
         elif a == "--shard":
@@ -111,7 +113,10 @@ def _parse_call(argv):
               "  -c STR   contexts, comma separated (default cpg,chg,chh)\n"
               "  -t INT   IO threads (default 8)\n"
               "  --dtype {f32,bf16}   device compute dtype\n"
-              "  --buffer-bases INT   packed device buffer capacity",
+              "  --buffer-bases INT   packed device buffer capacity\n"
+              "  --gather-impl {auto,slice,u8,blocked,folded,pallas}\n"
+              "           window-fetch path (auto: Pallas group-fetch "
+              "kernel on TPU, folded on CPU)",
               file=sys.stderr)
         raise SystemExit(1)
     return cfg, pos

@@ -31,7 +31,7 @@ from ..features import sites as sitefind
 from ..features.read_decode import decode_read
 from ..features.windows import (call_sites_batched, call_sites_dense,
                                 call_sites_grid, featurize_planes,
-                                featurize_planes_folded)
+                                featurize_planes_folded, featurize_planes_t)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -58,7 +58,9 @@ class CallConfig:
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
     conv_impl: str = "direct"            # direct | im2col | auto
-    gather_impl: str = "slice"           # slice (f32 table) | u8 (raw planes)
+    gather_impl: str = "auto"            # auto: pallas group-fetch on TPU,
+                                         # folded on CPU; or slice | u8 |
+                                         # blocked | folded | pallas
     feat_channels: int = 8               # zero-pad table width (8|32|128):
                                          # wider rows = faster window fetch
     dense_layer1: bool = False           # densified first conv (a trous)
@@ -134,10 +136,19 @@ def enable_compilation_cache():
 class CallEngine:
     def __init__(self, cfg: CallConfig):
         self.cfg = cfg
-        if cfg.gather_impl == "folded" and cfg.feat_channels != 8:
+        if cfg.gather_impl == "auto":
+            # pallas group-fetch kernel on real TPUs (10x the XLA slice
+            # gather); folded-table slice gather on the CPU backend (pallas
+            # would run in the interpreter there)
+            cfg.gather_impl = ("folded" if jax.default_backend() == "cpu"
+                               else "pallas")
+        # packing/fold/alignment contracts (folded: N % 16, pallas: block
+        # base clipping) want a 128-multiple buffer capacity
+        cfg.buffer_bases = -(-cfg.buffer_bases // 128) * 128
+        if cfg.gather_impl in ("folded", "pallas") and cfg.feat_channels != 8:
             from ..utils.logging import warn
-            warn("--feat-channels is ignored with --gather-impl folded "
-                 "(the folded table is always 16 positions x 8 channels)")
+            warn("--feat-channels is ignored with folded/pallas gather "
+                 "(their table layouts are fixed at 8 channels)")
             cfg.feat_channels = 8
         enable_compilation_cache()
         self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts,
@@ -302,12 +313,75 @@ class CallEngine:
             site_batch=bs, kmer_size=self.models.kmer,
             compute_dtype=self.compute_dtype, spec=self.models.specs[ctx],
             conv_impl=self.cfg.conv_impl, block_rows=self.BLOCK_ROWS)
-        return n, (probs_dev, groups, order, bs)
+        return n, ("blocked", probs_dev, groups, order, bs)
+
+    #: Pallas group-fetch geometry (gather_impl="pallas"):
+    #: `GROUP` sites share one (8, BLOCK_LANES) HBM->VMEM block DMA
+    GROUP = 32
+    BLOCK_LANES = 2048
+
+    def _call_context_pallas(self, ctx: str, feats_t, s):
+        """Group-fetch path: sort sites by position, pack groups of GROUP
+        sites whose window spans fit one block, call call_sites_pallas, and
+        unsort the probs (ops/gather.group_windows_t)."""
+        from ..features.windows import call_sites_pallas
+        from ..ops.gather import CHUNK_LANES, plan_groups
+
+        centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
+        n = len(centers)
+        if n == 0:
+            return n, None
+        strands = np.concatenate(s["strands"])
+        rstart = np.concatenate(s["rstart"])
+        rend = np.concatenate(s["rend"])
+        order = np.argsort(centers, kind="stable")
+        c_s, st_s, rs_s, re_s = (a[order] for a in (centers, strands, rstart, rend))
+
+        hk = self.models.kmer // 2
+        G, BL = self.GROUP, self.BLOCK_LANES
+        n_rows = self.cfg.buffer_bases
+        bases, rels, idx = plan_groups(
+            (c_s - hk).astype(np.int32), G, BL, self.models.kmer, n_rows,
+            extent=CHUNK_LANES + 127)
+        b128 = (bases // 128) * 128                  # t-kernel lane alignment
+        rels = rels + (bases - b128)[:, None]
+        ng = len(bases)
+        ngrp = self.cfg.site_batch // G              # groups per batch
+        nb = self._bucket_batches((ng + ngrp - 1) // ngrp)
+        pad_g = nb * ngrp - ng
+        b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
+        rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
+        # slot-ordered site arrays (padded group slots repeat a real site;
+        # padded groups mask out via rend 0)
+        slot = np.zeros((nb * ngrp * G,), np.int64)
+        slot[:ng * G] = idx.ravel()
+        c_slot = np.zeros(nb * ngrp * G, np.int32)
+        st_slot = np.zeros(nb * ngrp * G, np.uint8)
+        rs_slot = np.zeros(nb * ngrp * G, np.int32)
+        re_slot = np.zeros(nb * ngrp * G, np.int32)
+        c_slot[:ng * G] = c_s[idx.ravel()]
+        st_slot[:ng * G] = st_s[idx.ravel()]
+        rs_slot[:ng * G] = rs_s[idx.ravel()]
+        re_slot[:ng * G] = re_s[idx.ravel()]
+        probs_dev = call_sites_pallas(
+            self.models.params[ctx], feats_t,
+            jnp.asarray(b128.reshape(nb, ngrp)),
+            jnp.asarray(rels.reshape(nb, ngrp, G)),
+            jnp.asarray(c_slot), jnp.asarray(st_slot),
+            jnp.asarray(rs_slot), jnp.asarray(re_slot),
+            kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
+            spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
+            group=G, block_lanes=BL,
+            interpret=jax.default_backend() == "cpu")
+        return n, ("pallas", probs_dev, idx, order, ng)
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
         device array future (fetch with np.asarray later to overlap the
         three contexts)."""
+        if (self.cfg.gather_impl == "pallas" and self.mesh is None
+                and not self.cfg.dense_layer1):
+            return self._call_context_pallas(ctx, feats, s)
         if (self.cfg.gather_impl == "blocked" and self.mesh is None
                 and not self.cfg.dense_layer1):
             return self._call_context_blocked(ctx, feats, s)
@@ -365,7 +439,10 @@ class CallEngine:
                     from ..parallel.mesh import replicated
                     planes_dev = jax.device_put(self._planes,
                                                 replicated(self.mesh))
-                if (self.cfg.gather_impl == "folded" and self.mesh is None
+                if (self.cfg.gather_impl == "pallas" and self.mesh is None
+                        and not self.cfg.dense_layer1):
+                    feats = featurize_planes_t(planes_dev)
+                elif (self.cfg.gather_impl == "folded" and self.mesh is None
                         and not self.cfg.dense_layer1):
                     feats = featurize_planes_folded(planes_dev)
                 else:
@@ -400,9 +477,19 @@ class CallEngine:
             n, f = futures[ctx] if futures is not None else (0, None)
             if f is None:
                 probs[ctx] = np.empty(0, np.uint8)
+            elif isinstance(f, tuple) and f[0] == "pallas":
+                # group-fetch result: scatter slots back through idx (padded
+                # slots duplicate a real site -> same value), then unsort
+                _, probs_dev, idx, order, ng = f
+                flat = np.asarray(probs_dev)
+                sorted_probs = np.empty(n, np.uint8)
+                sorted_probs[idx.ravel()] = flat[:ng * idx.shape[1]]
+                unsorted = np.empty(n, np.uint8)
+                unsorted[order] = sorted_probs
+                probs[ctx] = unsorted
             elif isinstance(f, tuple):
                 # blocked-mode result: unpack span-capped batches + unsort
-                probs_dev, groups, order, bs = f
+                _, probs_dev, groups, order, bs = f
                 flat = np.asarray(probs_dev)
                 sorted_probs = np.empty(n, np.uint8)
                 for g, (lo, hi) in enumerate(groups):

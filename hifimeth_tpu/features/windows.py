@@ -120,6 +120,21 @@ def featurize_planes_folded(planes: jax.Array, fold: int = 16) -> jax.Array:
     return feats.reshape(feats.shape[0] // fold, fold * feats.shape[1])
 
 
+@jax.jit
+def featurize_planes_t(planes: jax.Array) -> jax.Array:
+    """(5, N) u8 packed planes -> (8, N) float32 TRANSPOSED feature table.
+
+    Channel-major layout for the Pallas group-fetch kernel
+    (ops/gather.group_windows_t): the minor dim is the position axis, so
+    blocks of the table and the extracted windows are exactly 128-lane
+    tiled with no padding at the XLA<->Pallas boundary."""
+    codes = planes[0]
+    onehot = (codes[None, :] == jnp.arange(4, dtype=codes.dtype)[:, None])
+    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
+    kin = table[planes[1:5]]                       # (4, N) f32
+    return jnp.concatenate([onehot.astype(jnp.float32), kin], axis=0)
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "fold"))
 def gather_windows_folded(folded: jax.Array, centers: jax.Array,
                           strands: jax.Array, rstart: jax.Array,
@@ -433,6 +448,59 @@ def call_sites_blocked(params, feats: jax.Array, centers: jax.Array,
                               rstart.reshape(nb, site_batch),
                               rend.reshape(nb, site_batch)))
     return probs.reshape(n)
+
+
+@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",
+                                   "conv_impl", "group", "block_lanes",
+                                   "interpret"))
+def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
+                      rels: jax.Array, centers: jax.Array,
+                      strands: jax.Array, rstart: jax.Array,
+                      rend: jax.Array, kmer_size: int = KMER_SIZE,
+                      compute_dtype=jnp.float32, spec: tuple | None = None,
+                      conv_impl: str = "direct", group: int = 32,
+                      block_lanes: int = 2048,
+                      interpret: bool = False) -> jax.Array:
+    """Pallas group-fetch call path: one HBM block DMA per `group`
+    position-sorted sites (ops/gather.group_windows_t) instead of one XLA
+    dynamic-slice per site, whose ~1.4 us fixed cost dominates the pipeline
+    (25 ms fetch vs 5 ms CNN per 16384-site batch on v5e).
+
+    bases (nb, NG) 128-aligned block bases; rels (nb, NG, group) window-start
+    lanes relative to base; centers/strands/rstart/rend (nb, NG*group) in the
+    same sorted slot order (see engine's plan_groups usage).  Returns u8
+    probs (nb * NG * group,) in slot order.
+    """
+    from ..ops.gather import group_windows_t
+
+    hk = kmer_size // 2
+    perm = jnp.asarray(REV_CHANNEL_PERM)
+
+    def one(batch):
+        b, r, c, s, rs, re = batch
+        wt = group_windows_t(feats_t, b, r, group=group,
+                             block_lanes=block_lanes,
+                             interpret=interpret)        # (SB, 8, OUT_LANES)
+        wt = wt[:, :, :kmer_size]
+        j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
+        pos = c[:, None].astype(jnp.int32) + j[None, :]
+        valid = (pos >= rs[:, None]) & (pos < re[:, None])
+        wt = wt * valid[:, None, :].astype(wt.dtype)
+        wt_rev = jnp.flip(wt, axis=2)[:, perm, :]
+        wt = jnp.where((s != 0)[:, None, None], wt_rev, wt)
+        # NCW -> NWC; XLA fuses the transpose + mask/flip into conv1's
+        # input handling
+        w = wt.transpose(0, 2, 1)
+        logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
+                                 spec=spec, conv_impl=conv_impl)
+        return logits_to_scaled_probs(logits)
+
+    nb = bases.shape[0]
+    sb = rels.shape[1] * group
+    probs = jax.lax.map(one, (bases, rels, centers.reshape(nb, sb),
+                              strands.reshape(nb, sb),
+                              rstart.reshape(nb, sb), rend.reshape(nb, sb)))
+    return probs.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",

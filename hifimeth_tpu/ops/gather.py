@@ -1,19 +1,29 @@
 """Pallas TPU kernels for the per-site window fetch.
 
-XLA lowers the batched dynamic-slice gathers of the call pipeline to a slow
-path (~30 GB/s effective on v5e); these kernels issue explicit HBM->VMEM
-DMAs per site with multi-buffering across the grid, targeting
-streaming-bandwidth fetches.
+XLA lowers the batched per-site dynamic-slice gather of the call pipeline to
+a serialized slice loop with a ~1.4 us fixed cost per site - 25 ms per
+16384-site batch against 5 ms of CNN on v5e, independent of slice size or
+source-tensor size (measured via scripts/microbench_gather.py).  The
+production kernel here, `group_windows_t`, removes the per-site slices
+entirely: the host sorts sites by position (neighboring candidate sites are
+~2.5 bp apart) and packs groups of `group` sites whose windows fit one
+block; the kernel streams ONE HBM->VMEM block DMA per group (double
+buffered across the grid) and extracts each window with an aligned VMEM
+chunk read + dynamic lane rotate.  Measured 2.4 ms per 16384-site batch -
+10x the XLA gather - and ~6x less HBM fetch traffic.
 
-Kernels:
-  window_rows_kernel - fetch `fetch_rows` consecutive rows per site from one
-    of two tables (fwd/rev), select the stride-2 phase, optionally flip the
-    row order (reverse-strand windows), emitting (B, out_rows, C).
-    Used by the dense-layer1 call path to fetch per-site conv1 activations.
+Layout rule (learned from Mosaic rejections): at the XLA<->Pallas boundary
+arrays get the default (8, 128)-tiled layout with the minor dim padded to
+128 lanes, so narrow tables like (N, 8) materialize 16x padded and their
+DMA slices are lane-misaligned.  Everything this kernel touches keeps a
+>=128 minor dim: the feature table is transposed to (8, N)
+(features/windows.featurize_planes_t) and windows are emitted transposed as
+(B, 8, OUT_LANES).
 
-  window_slice_kernel - fetch kmer consecutive rows per site from a single
-    table (B, kmer, C), the Pallas analog of gather_windows_slice's fetch
-    (mask/flip/perm stay in XLA where they fuse with the CNN).
+`window_rows` / `window_slices` are earlier per-site-DMA kernels kept for
+reference (see status note below); `group_windows` is the row-major
+predecessor of `group_windows_t` (its (N, 8) operand hits the padded-layout
+problem and is kept as documentation of it plus interpret-mode testing).
 """
 from __future__ import annotations
 
@@ -146,8 +156,219 @@ def window_slices(feats: jax.Array, starts: jax.Array, kmer: int,
     )(starts.astype(jnp.int32), feats)
 
 
-# Status note (round 1): both kernels are verified in interpret mode, but on
-# the available remote-tunnel v5e the compiled window_rows kernel executes
-# orders of magnitude slower than expected (suspected per-DMA serialization
-# through the relay); the engine therefore keeps the XLA contiguous-slice
-# gather as its default fetch path.  Revisit with on-chip profiling.
+# Status note: the two per-site-DMA kernels above are verified in interpret
+# mode but run far below expectations compiled (per-DMA issue cost with only
+# spp descriptors in flight, plus the XLA<->Pallas boundary materializing the
+# narrow (N, 8) table 128-lane padded).  They are kept for reference; the
+# production path is group_windows_t below, which fixed both problems.
+
+
+def _group_windows_kernel(bases_ref, rels_ref,       # scalar prefetch (SMEM)
+                          feats_ref,                 # (N, C) table in ANY/HBM
+                          out_ref,                   # (G, kmer, C) VMEM block
+                          scratch, sems,
+                          *, group: int, block_rows: int, kmer: int):
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+
+    def block_dma(i, slot):
+        return pltpu.make_async_copy(
+            feats_ref.at[pl.ds(bases_ref[i], block_rows), :],
+            scratch.at[slot], sems.at[slot])
+
+    # double-buffered block prefetch: step g waits on slot g%2, and kicks
+    # off the DMA for step g+1 into the other slot before extracting
+    @pl.when(g == 0)
+    def _():
+        block_dma(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        block_dma(g + 1, (g + 1) % 2).start()
+
+    slot = g % 2
+    block_dma(g, slot).wait()
+    for t in range(group):
+        out_ref[0, t, :, :] = scratch[slot, pl.ds(rels_ref[g, t], kmer), :]
+
+
+@partial(jax.jit,
+         static_argnames=("group", "block_rows", "kmer", "interpret"))
+def group_windows(feats: jax.Array, bases: jax.Array, rels: jax.Array,
+                  group: int, block_rows: int, kmer: int,
+                  interpret: bool = False) -> jax.Array:
+    """Group-local window fetch: ONE HBM->VMEM block DMA per `group` sites.
+
+    The host sorts each batch's sites by position and packs them into groups
+    whose window span fits in `block_rows` rows (neighboring candidate sites
+    are ~2.5 bp apart, so 32 windows typically span ~80 rows); the kernel
+    streams one (block_rows, C) block per group and extracts the kmer-row
+    windows with VMEM slices.  This replaces XLA's per-site dynamic-slice
+    gather, whose ~1.4 us/site fixed cost dominates the call pipeline
+    (measured: 25 ms vs 5 ms of CNN per 16384-site batch), and cuts HBM
+    fetch traffic ~6x.
+
+    bases: (n_groups,) int32 block base row per group, in [0, N-block_rows];
+    rels:  (n_groups, group) int32 per-site window start rows relative to the
+           group's base, in [0, block_rows - kmer].
+    Returns (n_groups * group, kmer, C) f32 ascending-row windows (mask,
+    reverse-strand flip/permute stay in XLA where they fuse with the CNN).
+    """
+    ng = bases.shape[0]
+    C = feats.shape[1]
+    kernel = partial(_group_windows_kernel, group=group,
+                     block_rows=block_rows, kmer=kmer)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, group, kmer, C),
+                               lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows, C), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, group, kmer, C), feats.dtype),
+        interpret=interpret,
+    )(bases.astype(jnp.int32), rels.astype(jnp.int32), feats)
+    return out.reshape(ng * group, kmer, C)
+
+
+def plan_groups(starts_sorted: "np.ndarray", group: int, block_rows: int,
+                kmer: int, n_rows: int, extent: int | None = None):
+    """Host-side grouping for group_windows: pack position-sorted window
+    starts into groups of `group` sites whose span fits one block.
+
+    Returns (bases (ng,) int32, rels (ng, group) int32, idx (ng, group)
+    int64).  idx maps each group slot back to its position in
+    starts_sorted; partial groups are padded by repeating one of the
+    group's real sites (identical windows -> identical probs, so callers
+    can scatter flat results through idx and the duplicates overwrite
+    with the same value).  The common case (every consecutive chunk of
+    `group` sites fits the span cap) is fully vectorized; span violations
+    fall back to a greedy split loop.
+    """
+    n = len(starts_sorted)
+    cap = block_rows - (kmer if extent is None else extent)
+    if n == 0:
+        return (np.zeros(0, np.int32), np.zeros((0, group), np.int32),
+                np.zeros((0, group), np.int64))
+    ng0 = (n + group - 1) // group
+    pad = ng0 * group - n
+    padded = np.concatenate(
+        [starts_sorted, np.full(pad, starts_sorted[-1], starts_sorted.dtype)])
+    chunks = padded.reshape(ng0, group)
+    if (chunks[:, -1] - chunks[:, 0] <= cap).all():
+        bases = np.minimum(chunks[:, 0], n_rows - block_rows).astype(np.int32)
+        idx = np.concatenate([np.arange(n, dtype=np.int64),
+                              np.full(pad, n - 1, np.int64)]).reshape(ng0, group)
+        return bases, (chunks - bases[:, None]).astype(np.int32), idx
+    # greedy split: some group's span exceeds the cap
+    bases, rels, idx = [], [], []
+    i = 0
+    while i < n:
+        j = min(i + group, n)
+        if starts_sorted[j - 1] - starts_sorted[i] > cap:
+            j = i + int(np.searchsorted(starts_sorted[i:j],
+                                        starts_sorted[i] + cap, side="right"))
+            j = max(j, i + 1)
+        s = starts_sorted[i:j]
+        s = np.concatenate([s, np.full(group - len(s), s[0], s.dtype)])
+        k = np.concatenate([np.arange(i, j, dtype=np.int64),
+                            np.full(group - (j - i), i, np.int64)])
+        base = min(int(s.min()), n_rows - block_rows)
+        bases.append(base)
+        rels.append(s - base)
+        idx.append(k)
+        i = j
+    return (np.asarray(bases, np.int32), np.asarray(rels, np.int32),
+            np.asarray(idx, np.int64))
+
+
+# --- transposed-layout group fetch (the production kernel) -----------------
+#
+# Layout rule learned the hard way: at the XLA<->Pallas boundary, arrays are
+# laid out in (8, 128) tiles with the minor dim padded to 128 lanes, so a
+# narrow (N, 8) feature table materializes 16x padded and DMA slices of it
+# are lane-misaligned.  The transposed table (8, N) and transposed window
+# blocks (G, 8, 512) are exactly lane-tiled with no padding waste.
+
+OUT_LANES = 512          # window container: kmer 401 + roll slack, 4 tiles
+CHUNK_LANES = 640        # aligned per-site chunk: 127 max phase + 401 + pad
+
+
+def _group_windows_t_kernel(bases_ref, rels_ref,     # scalar prefetch (SMEM)
+                            feats_ref,               # (8, N) table ANY/HBM
+                            out_ref,                 # (1, G, 8, 512) VMEM
+                            scratch, sems,
+                            *, group: int, block_lanes: int):
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+
+    def block_dma(i, slot):
+        base = pl.multiple_of(bases_ref[i], 128)
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(base, block_lanes)],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        block_dma(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        block_dma(g + 1, (g + 1) % 2).start()
+
+    slot = g % 2
+    block_dma(g, slot).wait()
+    for t in range(group):
+        rel = rels_ref[g, t]
+        off = pl.multiple_of((rel // 128) * 128, 128)
+        p = rel - off                                # phase in [0, 128)
+        chunk = scratch[slot, :, pl.ds(off, CHUNK_LANES)]    # (8, 640)
+        # left-rotate by p: window lanes land at [0, kmer)
+        rolled = pltpu.roll(chunk, CHUNK_LANES - p, axis=1)
+        out_ref[0, t, :, :] = rolled[:, :OUT_LANES]
+
+
+@partial(jax.jit, static_argnames=("group", "block_lanes", "interpret"))
+def group_windows_t(feats_t: jax.Array, bases: jax.Array, rels: jax.Array,
+                    group: int = 32, block_lanes: int = 2048,
+                    interpret: bool = False) -> jax.Array:
+    """Group-local window fetch, transposed layout: ONE HBM->VMEM DMA per
+    `group` position-sorted sites, per-site extraction via aligned chunk +
+    dynamic lane rotate.  Returns (ng*group, 8, OUT_LANES) f32 windows with
+    the kmer rows at lanes [0, kmer); lanes beyond kmer are rotation garbage
+    for the caller to mask/slice.
+
+    feats_t: (8, N) transposed feature table (featurize_planes_t).
+    bases:   (ng,) int32, 128-aligned block base lane, in [0, N-block_lanes].
+    rels:    (ng, group) int32 window-start lane minus base, in
+             [0, block_lanes - CHUNK_LANES].
+    """
+    ng = bases.shape[0]
+    kernel = partial(_group_windows_t_kernel, group=group,
+                     block_lanes=block_lanes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, group, 8, OUT_LANES),
+                               lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, block_lanes), feats_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, group, 8, OUT_LANES),
+                                       feats_t.dtype),
+        interpret=interpret,
+    )(bases.astype(jnp.int32), rels.astype(jnp.int32), feats_t)
+    return out.reshape(ng * group, 8, OUT_LANES)

@@ -138,6 +138,56 @@ def main():
             return jax.lax.map(one, jnp.arange(NB))
         timed("cnn", cnn, w_dev)
 
+    if "pallas_group" in variants:
+        from hifimeth_tpu.ops.gather import group_windows
+        G, R = 32, 1024
+        NG = B // G
+        # realistic workload: sorted sites ~2.5 rows apart (candidate-site
+        # density of the call pipeline), grouped host-side
+        bases = np.empty((NB, NG), np.int32)
+        rels = np.empty((NB, NG, G), np.int32)
+        for i in range(NB):
+            starts = (K + np.cumsum(rng.integers(1, 5, B))).astype(np.int32)
+            sg = starts.reshape(NG, G)
+            b = np.minimum(sg[:, 0], N - R)
+            bases[i] = b
+            rels[i] = sg - b[:, None]
+        assert rels.max() <= R - K and rels.min() >= 0
+        b_d, r_d = jnp.asarray(bases), jnp.asarray(rels)
+
+        @jax.jit
+        def pallas_group(bs, rs):
+            def one(b):
+                w = group_windows(feats, b[0], b[1], G, R, K)
+                return jnp.sum(w)
+            return jax.lax.map(one, (bs, rs))
+        timed("pallas_group", pallas_group, b_d, r_d)
+
+    if "pallas_groupt" in variants:
+        from hifimeth_tpu.features.windows import featurize_planes_t
+        from hifimeth_tpu.ops.gather import group_windows_t
+        G, R = 32, 2048
+        NG = B // G
+        ft = featurize_planes_t(jnp.asarray(planes))
+        bases = np.empty((NB, NG), np.int32)
+        rels = np.empty((NB, NG, G), np.int32)
+        for i in range(NB):
+            starts = (K + np.cumsum(rng.integers(1, 5, B))).astype(np.int32)
+            sg = starts.reshape(NG, G)
+            b = np.minimum((sg[:, 0] // 128) * 128, N - R)
+            bases[i] = b
+            rels[i] = sg - b[:, None]
+        assert rels.max() <= R - 640 and rels.min() >= 0
+        b_d, r_d = jnp.asarray(bases), jnp.asarray(rels)
+
+        @jax.jit
+        def pallas_groupt(bs, rs):
+            def one(b):
+                w = group_windows_t(ft, b[0], b[1], group=G, block_lanes=R)
+                return jnp.sum(w[:, :, :K])
+            return jax.lax.map(one, (bs, rs))
+        timed("pallas_groupt", pallas_groupt, b_d, r_d)
+
     for name, spp in (("pallas_slice", 8), ("pallas_slice64", 64)):
         if name not in variants:
             continue

@@ -142,3 +142,47 @@ def test_folded_gather_every_phase():
                                          jnp.asarray(strands),
                                          jnp.asarray(rstart), jnp.asarray(rend)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_call_path_matches_batched():
+    # full group-fetch call path (interpret-mode kernel on CPU) must produce
+    # the same u8 probs as the slice-gather path, through the engine's own
+    # sorting/grouping/unsorting
+    import os
+    from hifimeth_tpu.engine.call import CallConfig, CallEngine, default_model_dir
+    import pytest
+    if not os.path.exists(os.path.join(default_model_dir(), "CpG.npz")):
+        pytest.skip("models not available")
+
+    from hifimeth_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    import tempfile
+
+    rng = np.random.default_rng(7)
+    with tempfile.TemporaryDirectory() as td:
+        bam = os.path.join(td, "in.bam")
+        hdr = BamHeader("@HD\tVN:1.6\tSO:unknown\n", [])
+        with BamWriter(bam, hdr) as w:
+            for i in range(3):
+                rec = BamRecord(qname=f"m/{i}/ccs", flag=4)
+                L = 1500 + 37 * i
+                seq = rng.choice(list(b"ACGT"), L).astype(np.uint8)
+                rec.set_seq(seq, qual=np.full(L, 40, np.uint8))
+                for tag in ("fi", "ri", "fp", "rp"):
+                    rec.set_tag(tag, "B", ("C", rng.integers(0, 256, L).astype(np.uint8)))
+                w.write(rec)
+
+        def run(gather_impl):
+            from hifimeth_tpu.engine.call import run_call
+            out = os.path.join(td, f"out_{gather_impl}.bam")
+            cfg = CallConfig(site_batch=256, buffer_bases=1 << 15,
+                             gather_impl=gather_impl)
+            run_call(bam, out, cfg)
+            from hifimeth_tpu.io.bam import BamReader
+            return [(r.get_tag("MM"),
+                     (r.get_tag("ML")[0], r.get_tag("ML")[1][0],
+                      bytes(np.asarray(r.get_tag("ML")[1][1]))))
+                    for r in BamReader(out)]
+
+        a = run("slice")
+        b = run("pallas")
+        assert a == b
