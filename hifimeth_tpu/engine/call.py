@@ -334,8 +334,16 @@ class CallEngine:
         strands = np.concatenate(s["strands"])
         rstart = np.concatenate(s["rstart"])
         rend = np.concatenate(s["rend"])
-        order = np.argsort(centers, kind="stable")
-        c_s, st_s, rs_s, re_s = (a[order] for a in (centers, strands, rstart, rend))
+        # reads pack at increasing offsets and per-read site lists ascend, so
+        # CpG/CHG flushes arrive pre-sorted; CHH is nearly sorted (rev hits
+        # recorded at +2) and timsort handles it in ~linear time
+        if n > 1 and not np.all(centers[:-1] <= centers[1:]):
+            order = np.argsort(centers, kind="stable")
+            c_s, st_s, rs_s, re_s = (a[order]
+                                     for a in (centers, strands, rstart, rend))
+        else:
+            order = None
+            c_s, st_s, rs_s, re_s = centers, strands, rstart, rend
 
         hk = self.models.kmer // 2
         G, BL = self.GROUP, self.BLOCK_LANES
@@ -353,16 +361,27 @@ class CallEngine:
         rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
         # slot-ordered site arrays (padded group slots repeat a real site;
         # padded groups mask out via rend 0)
-        slot = np.zeros((nb * ngrp * G,), np.int64)
-        slot[:ng * G] = idx.ravel()
         c_slot = np.zeros(nb * ngrp * G, np.int32)
         st_slot = np.zeros(nb * ngrp * G, np.uint8)
         rs_slot = np.zeros(nb * ngrp * G, np.int32)
         re_slot = np.zeros(nb * ngrp * G, np.int32)
-        c_slot[:ng * G] = c_s[idx.ravel()]
-        st_slot[:ng * G] = st_s[idx.ravel()]
-        rs_slot[:ng * G] = rs_s[idx.ravel()]
-        re_slot[:ng * G] = re_s[idx.ravel()]
+        contiguous = ng == 0 or (idx.ravel()[:n] == np.arange(n)).all()
+        if contiguous:
+            # trivial chunking: slots are the sorted sites plus a repeated
+            # tail - no fancy gather needed
+            c_slot[:n], st_slot[:n] = c_s, st_s
+            rs_slot[:n], re_slot[:n] = rs_s, re_s
+            if ng * G > n:
+                c_slot[n:ng * G] = c_s[-1]
+                st_slot[n:ng * G] = st_s[-1]
+                rs_slot[n:ng * G] = rs_s[-1]
+                re_slot[n:ng * G] = re_s[-1]
+        else:
+            flat = idx.ravel()
+            c_slot[:ng * G] = c_s[flat]
+            st_slot[:ng * G] = st_s[flat]
+            rs_slot[:ng * G] = rs_s[flat]
+            re_slot[:ng * G] = re_s[flat]
         probs_dev = call_sites_pallas(
             self.models.params[ctx], feats_t,
             jnp.asarray(b128.reshape(nb, ngrp)),
@@ -373,7 +392,7 @@ class CallEngine:
             spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
             group=G, block_lanes=BL,
             interpret=jax.default_backend() == "cpu")
-        return n, ("pallas", probs_dev, idx, order, ng)
+        return n, ("pallas", probs_dev, None if contiguous else idx, order, ng)
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
@@ -479,14 +498,21 @@ class CallEngine:
                 probs[ctx] = np.empty(0, np.uint8)
             elif isinstance(f, tuple) and f[0] == "pallas":
                 # group-fetch result: scatter slots back through idx (padded
-                # slots duplicate a real site -> same value), then unsort
+                # slots duplicate a real site -> same value; idx None means
+                # trivial chunking), then unsort (order None = pre-sorted)
                 _, probs_dev, idx, order, ng = f
                 flat = np.asarray(probs_dev)
-                sorted_probs = np.empty(n, np.uint8)
-                sorted_probs[idx.ravel()] = flat[:ng * idx.shape[1]]
-                unsorted = np.empty(n, np.uint8)
-                unsorted[order] = sorted_probs
-                probs[ctx] = unsorted
+                if idx is None:
+                    sorted_probs = flat[:n]
+                else:
+                    sorted_probs = np.empty(n, np.uint8)
+                    sorted_probs[idx.ravel()] = flat[:ng * idx.shape[1]]
+                if order is None:
+                    probs[ctx] = sorted_probs
+                else:
+                    unsorted = np.empty(n, np.uint8)
+                    unsorted[order] = sorted_probs
+                    probs[ctx] = unsorted
             elif isinstance(f, tuple):
                 # blocked-mode result: unpack span-capped batches + unsort
                 _, probs_dev, groups, order, bs = f
