@@ -478,9 +478,13 @@ def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
 
     def one(batch):
         b, r, c, s, rs, re = batch
+        # windows come out of the kernel already in compute_dtype: in bf16
+        # mode that halves the mask/flip/transpose traffic over the largest
+        # tensor of the gather stage (bit-identical no-op for f32)
         wt = group_windows_t(feats_t, b, r, group=group,
                              block_lanes=block_lanes,
-                             interpret=interpret)        # (SB, 8, OUT_LANES)
+                             interpret=interpret,
+                             out_dtype=compute_dtype)    # (SB, 8, OUT_LANES)
         wt = wt[:, :, :kmer_size]
         j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
         pos = c[:, None].astype(jnp.int32) + j[None, :]

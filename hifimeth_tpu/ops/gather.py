@@ -305,7 +305,7 @@ def _group_windows_t_kernel(bases_ref, rels_ref,     # scalar prefetch (SMEM)
                             feats_ref,               # (8, N) table ANY/HBM
                             out_ref,                 # (1, G, 8, 512) VMEM
                             scratch, sems,
-                            *, group: int, block_lanes: int):
+                            *, group: int, block_lanes: int, out_dtype):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
 
@@ -332,16 +332,20 @@ def _group_windows_t_kernel(bases_ref, rels_ref,     # scalar prefetch (SMEM)
         chunk = scratch[slot, :, pl.ds(off, CHUNK_LANES)]    # (8, 640)
         # left-rotate by p: window lanes land at [0, kmer)
         rolled = pltpu.roll(chunk, CHUNK_LANES - p, axis=1)
-        out_ref[0, t, :, :] = rolled[:, :OUT_LANES]
+        # cast at the VMEM write: in bf16 mode this halves the kernel's
+        # output traffic AND every downstream elementwise/transpose pass
+        out_ref[0, t, :, :] = rolled[:, :OUT_LANES].astype(out_dtype)
 
 
-@partial(jax.jit, static_argnames=("group", "block_lanes", "interpret"))
+@partial(jax.jit, static_argnames=("group", "block_lanes", "interpret",
+                                   "out_dtype"))
 def group_windows_t(feats_t: jax.Array, bases: jax.Array, rels: jax.Array,
                     group: int = 32, block_lanes: int = 2048,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    out_dtype=None) -> jax.Array:
     """Group-local window fetch, transposed layout: ONE HBM->VMEM DMA per
     `group` position-sorted sites, per-site extraction via aligned chunk +
-    dynamic lane rotate.  Returns (ng*group, 8, OUT_LANES) f32 windows with
+    dynamic lane rotate.  Returns (ng*group, 8, OUT_LANES) windows with
     the kmer rows at lanes [0, kmer); lanes beyond kmer are rotation garbage
     for the caller to mask/slice.
 
@@ -349,10 +353,14 @@ def group_windows_t(feats_t: jax.Array, bases: jax.Array, rels: jax.Array,
     bases:   (ng,) int32, 128-aligned block base lane, in [0, N-block_lanes].
     rels:    (ng, group) int32 window-start lane minus base, in
              [0, block_lanes - CHUNK_LANES].
+    out_dtype: window dtype (default: table dtype).  bfloat16 halves the
+    kernel's output write traffic and every downstream pass over the windows
+    (the (B, 8, 512) block is by far the largest tensor of the gather stage).
     """
     ng = bases.shape[0]
+    out_dtype = feats_t.dtype if out_dtype is None else out_dtype
     kernel = partial(_group_windows_t_kernel, group=group,
-                     block_lanes=block_lanes)
+                     block_lanes=block_lanes, out_dtype=out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ng,),
@@ -368,7 +376,7 @@ def group_windows_t(feats_t: jax.Array, bases: jax.Array, rels: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng, group, 8, OUT_LANES),
-                                       feats_t.dtype),
+                                       out_dtype),
         interpret=interpret,
     )(bases.astype(jnp.int32), rels.astype(jnp.int32), feats_t)
     return out.reshape(ng * group, 8, OUT_LANES)

@@ -171,11 +171,11 @@ def test_pallas_call_path_matches_batched():
                     rec.set_tag(tag, "B", ("C", rng.integers(0, 256, L).astype(np.uint8)))
                 w.write(rec)
 
-        def run(gather_impl):
+        def run(gather_impl, dtype="float32"):
             from hifimeth_tpu.engine.call import run_call
-            out = os.path.join(td, f"out_{gather_impl}.bam")
+            out = os.path.join(td, f"out_{gather_impl}_{dtype}.bam")
             cfg = CallConfig(site_batch=256, buffer_bases=1 << 15,
-                             gather_impl=gather_impl)
+                             gather_impl=gather_impl, compute_dtype=dtype)
             run_call(bam, out, cfg)
             from hifimeth_tpu.io.bam import BamReader
             return [(r.get_tag("MM"),
@@ -186,3 +186,18 @@ def test_pallas_call_path_matches_batched():
         a = run("slice")
         b = run("pallas")
         assert a == b
+
+        # bf16 pallas path (bf16 windows straight out of the kernel): same
+        # MM strings; ML scaled probs carry bf16 rounding from both the
+        # window features and the convs - bound the error distribution
+        c = run("pallas", "bfloat16")
+        assert [x[0] for x in c] == [x[0] for x in a]
+        deltas = []
+        for (_, (_, _, pa)), (_, (_, _, pc)) in zip(a, c):
+            da = np.frombuffer(pa, np.uint8).astype(int)
+            dc = np.frombuffer(pc, np.uint8).astype(int)
+            deltas.append(np.abs(da - dc))
+        d = np.concatenate(deltas)
+        assert d.max() <= 10                   # <= 4% of the prob scale
+        assert d.mean() <= 1.0
+        assert (d > 3).mean() <= 0.03
