@@ -265,6 +265,24 @@ class CallEngine:
                 return b
         return nb
 
+    @classmethod
+    def _decompose_batches(cls, nb: int) -> list[int]:
+        """Split a flush's batch count into a sum of bucket-sized dispatch
+        chunks (52 -> [48, 4]) instead of rounding up to one bucket
+        (52 -> 64): each chunk reuses an already-compiled bucket program and
+        flush padding waste drops from the bucket step (up to ~33%) to at
+        most one batch.  Chunks dispatch back-to-back on the same stream, so
+        total device compute is what shrinks."""
+        chunks = []
+        while nb > 0:
+            below = [b for b in cls._BUCKETS if b <= nb]
+            if not below:
+                chunks.append(cls._bucket_batches(nb))
+                break
+            chunks.append(below[-1])
+            nb -= below[-1]
+        return chunks
+
     #: block-local fetch geometry (gather_impl="blocked")
     BLOCK_ROWS = 1 << 17
 
@@ -355,7 +373,8 @@ class CallEngine:
         rels = rels + (bases - b128)[:, None]
         ng = len(bases)
         ngrp = self.cfg.site_batch // G              # groups per batch
-        nb = self._bucket_batches((ng + ngrp - 1) // ngrp)
+        chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
+        nb = sum(chunks)
         pad_g = nb * ngrp - ng
         b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
         rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
@@ -382,17 +401,27 @@ class CallEngine:
             st_slot[:ng * G] = st_s[flat]
             rs_slot[:ng * G] = rs_s[flat]
             re_slot[:ng * G] = re_s[flat]
-        probs_dev = call_sites_pallas(
-            self.models.params[ctx], feats_t,
-            jnp.asarray(b128.reshape(nb, ngrp)),
-            jnp.asarray(rels.reshape(nb, ngrp, G)),
-            jnp.asarray(c_slot), jnp.asarray(st_slot),
-            jnp.asarray(rs_slot), jnp.asarray(re_slot),
-            kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
-            spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
-            group=G, block_lanes=BL,
-            interpret=jax.default_backend() == "cpu")
-        return n, ("pallas", probs_dev, None if contiguous else idx, order, ng)
+        # one dispatch per bucket chunk; each reuses a cached program and the
+        # chunks run back-to-back on the device stream
+        b128_b = b128.reshape(nb, ngrp)
+        rels_b = rels.reshape(nb, ngrp, G)
+        probs_parts = []
+        o = 0
+        for k in chunks:
+            sl = slice(o * ngrp * G, (o + k) * ngrp * G)
+            probs_parts.append(call_sites_pallas(
+                self.models.params[ctx], feats_t,
+                jnp.asarray(b128_b[o:o + k]),
+                jnp.asarray(rels_b[o:o + k]),
+                jnp.asarray(c_slot[sl]), jnp.asarray(st_slot[sl]),
+                jnp.asarray(rs_slot[sl]), jnp.asarray(re_slot[sl]),
+                kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
+                spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
+                group=G, block_lanes=BL,
+                interpret=jax.default_backend() == "cpu"))
+            o += k
+        return n, ("pallas", probs_parts, None if contiguous else idx, order,
+                   ng)
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
@@ -412,18 +441,18 @@ class CallEngine:
         rstart = np.concatenate(s["rstart"])
         rend = np.concatenate(s["rend"])
         bs = self.cfg.site_batch
-        nb = self._bucket_batches((n + bs - 1) // bs)
-        pad = nb * bs - n
-        if pad:
-            centers = np.concatenate([centers, np.zeros(pad, np.int32)])
-            strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
-            rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
-            rend = np.concatenate([rend, np.zeros(pad, np.int32)])
         kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
                   spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl)
         if self.mesh is None and not self.cfg.dense_layer1:
             kw["gather_impl"] = self.cfg.gather_impl
         if self.mesh is not None:
+            nb = self._bucket_batches((n + bs - 1) // bs)
+            pad = nb * bs - n
+            if pad:
+                centers = np.concatenate([centers, np.zeros(pad, np.int32)])
+                strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
+                rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
+                rend = np.concatenate([rend, np.zeros(pad, np.int32)])
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "data"))
             nb_total = len(centers) // bs
@@ -431,14 +460,27 @@ class CallEngine:
                     for a in (centers, strands, rstart, rend)]
             probs = call_sites_grid(self.models.params[ctx], feats, *args,
                                     **kw).reshape(-1)
-        else:
-            fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
-            probs = fn(
+            return n, probs
+        chunks = self._decompose_batches((n + bs - 1) // bs)
+        nb = sum(chunks)
+        pad = nb * bs - n
+        if pad:
+            centers = np.concatenate([centers, np.zeros(pad, np.int32)])
+            strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
+            rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
+            rend = np.concatenate([rend, np.zeros(pad, np.int32)])
+        fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
+        probs_parts = []
+        o = 0
+        for k in chunks:
+            sl = slice(o * bs, (o + k) * bs)
+            probs_parts.append(fn(
                 self.models.params[ctx], feats,
-                jnp.asarray(centers), jnp.asarray(strands),
-                jnp.asarray(rstart), jnp.asarray(rend),
-                site_batch=bs, **kw)
-        return n, probs
+                jnp.asarray(centers[sl]), jnp.asarray(strands[sl]),
+                jnp.asarray(rstart[sl]), jnp.asarray(rend[sl]),
+                site_batch=bs, **kw))
+            o += k
+        return n, probs_parts
 
     def flush(self, out: list):
         """Dispatch the packed buffer to the device (async), then resolve and
@@ -500,8 +542,8 @@ class CallEngine:
                 # group-fetch result: scatter slots back through idx (padded
                 # slots duplicate a real site -> same value; idx None means
                 # trivial chunking), then unsort (order None = pre-sorted)
-                _, probs_dev, idx, order, ng = f
-                flat = np.asarray(probs_dev)
+                _, probs_parts, idx, order, ng = f
+                flat = np.concatenate([np.asarray(p) for p in probs_parts])
                 if idx is None:
                     sorted_probs = flat[:n]
                 else:
@@ -523,6 +565,10 @@ class CallEngine:
                 unsorted = np.empty(n, np.uint8)
                 unsorted[order] = sorted_probs
                 probs[ctx] = unsorted
+            elif isinstance(f, list):
+                # bucket-chunked dispatches: concatenate the chunk results
+                probs[ctx] = np.concatenate(
+                    [np.asarray(p) for p in f])[:n]
             else:
                 probs[ctx] = np.asarray(f)[:n]
         self.timers["device_wait"] += time.perf_counter() - t0
