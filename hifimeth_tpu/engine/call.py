@@ -170,13 +170,19 @@ class CallEngine:
         self.stats.update(reads=0, bases=0, called_reads=0)
         self.timers = {"decode": 0.0, "sites": 0.0, "pack": 0.0,
                        "device_dispatch": 0.0, "device_wait": 0.0,
-                       "mmbuild": 0.0}
+                       "mmbuild": 0.0,
+                       # device_dispatch sub-phases (not part of the sum)
+                       "d_h2d": 0.0, "d_plan": 0.0, "d_enqueue": 0.0}
 
     def log_timers(self):
         import sys
-        total = sum(self.timers.values())
-        parts = ", ".join(f"{k}={v:.2f}s" for k, v in self.timers.items())
-        print(f"[engine timers] {parts} (sum {total:.2f}s)", file=sys.stderr)
+        main = {k: v for k, v in self.timers.items() if not k.startswith("d_")}
+        total = sum(main.values())
+        parts = ", ".join(f"{k}={v:.2f}s" for k, v in main.items())
+        sub = ", ".join(f"{k}={self.timers[k]:.2f}s" for k in
+                        ("d_h2d", "d_plan", "d_enqueue"))
+        print(f"[engine timers] {parts} (sum {total:.2f}s) [{sub}]",
+              file=sys.stderr)
 
     # -- packing -----------------------------------------------------------
     def _reset_buffer(self):
@@ -345,6 +351,7 @@ class CallEngine:
         from ..features.windows import call_sites_pallas
         from ..ops.gather import CHUNK_LANES, plan_groups
 
+        t_plan = time.perf_counter()
         centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
         n = len(centers)
         if n == 0:
@@ -401,6 +408,8 @@ class CallEngine:
             st_slot[:ng * G] = st_s[flat]
             rs_slot[:ng * G] = rs_s[flat]
             re_slot[:ng * G] = re_s[flat]
+        self.timers["d_plan"] += time.perf_counter() - t_plan
+        t_enq = time.perf_counter()
         # one dispatch per bucket chunk; each reuses a cached program and the
         # chunks run back-to-back on the device stream
         b128_b = b128.reshape(nb, ngrp)
@@ -420,6 +429,7 @@ class CallEngine:
                 group=G, block_lanes=BL,
                 interpret=jax.default_backend() == "cpu"))
             o += k
+        self.timers["d_enqueue"] += time.perf_counter() - t_enq
         return n, ("pallas", probs_parts, None if contiguous else idx, order,
                    ng)
 
@@ -489,6 +499,7 @@ class CallEngine:
         t0 = time.perf_counter()
         futures = None
         if self._fill > self._margin:
+            t_h2d = time.perf_counter()
             if (self.cfg.gather_impl == "u8" and self.mesh is None
                     and not self.cfg.dense_layer1):
                 # raw u8 planes, transposed (N, 5): the u8 slice gather
@@ -509,6 +520,7 @@ class CallEngine:
                 else:
                     feats = featurize_planes(planes_dev,
                                              out_channels=self.cfg.feat_channels)
+            self.timers["d_h2d"] += time.perf_counter() - t_h2d
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
