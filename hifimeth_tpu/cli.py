@@ -141,6 +141,20 @@ def main(argv=None) -> int:
             pid, nproc = shard_str.split("/")
             shard = ShardSpec(process_id=int(pid), num_processes=int(nproc))
         program_banner(PROG, __version__)
+        from .utils.system import dump_parameters
+        dump_parameters("call", {
+            "model_dir": cfg.resolve_model_dir(),
+            "min_read_size": cfg.min_read_size,
+            "site_batch": cfg.site_batch,
+            "read_batch_size": cfg.read_batch_size,
+            "keep_kinetics": int(cfg.keep_kinetics),
+            "contexts": ",".join(cfg.contexts),
+            "io_threads": cfg.io_threads,
+            "compute_dtype": cfg.compute_dtype,
+            "gather_impl": cfg.gather_impl,
+            "input": pos[0],
+            "output": pos[1],
+        })
         with program_info(PROG):
             run_call(pos[0], pos[1], cfg, cmdline=" ".join([PROG] + argv),
                      shard=shard)
@@ -198,6 +212,15 @@ def main(argv=None) -> int:
                   "reference mod-bam output-prefix", file=sys.stderr)
             return 1
         from .quant.pileup import run_pileup_parallel
+        from .utils.system import dump_parameters
+        dump_parameters("pileup", {
+            "min_mapq": cfg.min_mapq,
+            "min_identity": cfg.min_identity,
+            "threads": cfg.io_threads,
+            "reference": pos[0],
+            "input": pos[1],
+            "output_prefix": pos[2],
+        })
         with program_info(PROG):
             run_pileup_parallel(pos[0], pos[1], pos[2], cfg,
                                 workers=cfg.io_threads)

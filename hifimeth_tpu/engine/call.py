@@ -66,7 +66,9 @@ class CallConfig:
     dense_layer1: bool = False           # densified first conv (a trous)
     data_parallel: bool = False          # shard site batches over local chips
     stats_json: str = ""                 # write machine-readable run stats
-    io_threads: int = 8
+    io_threads: int = 8                  # BGZF codec pool; the reference
+                                         # fixes its htslib IO pool at 8
+                                         # threads (sam_batch.hpp:19)
 
     def resolve_model_dir(self) -> str:
         return self.model_dir or default_model_dir()
@@ -279,14 +281,12 @@ class CallEngine:
         flush padding waste drops from the bucket step (up to ~33%) to at
         most one batch.  Chunks dispatch back-to-back on the same stream, so
         total device compute is what shrinks."""
+        assert cls._BUCKETS[0] == 1  # guarantees the greedy loop terminates
         chunks = []
         while nb > 0:
-            below = [b for b in cls._BUCKETS if b <= nb]
-            if not below:
-                chunks.append(cls._bucket_batches(nb))
-                break
-            chunks.append(below[-1])
-            nb -= below[-1]
+            b = max(b for b in cls._BUCKETS if b <= nb)
+            chunks.append(b)
+            nb -= b
         return chunks
 
     #: block-local fetch geometry (gather_impl="blocked")

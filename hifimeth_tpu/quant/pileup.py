@@ -49,7 +49,12 @@ SPILL_DTYPE = np.dtype(
 class PileupConfig:
     min_mapq: int = 0        # reference default (pileup.cpp:18)
     min_identity: float = 0.0
-    io_threads: int = 8
+    io_threads: int = 0      # 0 = physical cores (mod_options.cpp:120-132)
+
+    def __post_init__(self):
+        if self.io_threads <= 0:
+            from ..utils.system import physical_core_count
+            self.io_threads = physical_core_count()
 
 
 def classify_read_mods(fwd_seq: np.ndarray, qoffs: np.ndarray) -> np.ndarray:
@@ -314,6 +319,8 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
     ], np.uint8)
 
     suffix = "" if shard.num_processes == 1 else f".shard{shard.process_id:04d}"
+    if shard.num_processes > 1:
+        _write_chroms_sidecar(output_prefix, db)
     my_chroms = set(chromosome_ranges(db.num_seqs, shard))
     spill_sources = [spill] + [
         _ExternalSpill(p) for p in (extra_spill_paths or [])]
@@ -456,6 +463,7 @@ def run_pileup_multihost(reference_path: str, mod_bam_path: str,
     for p in range(shard.num_processes):
         path = f"{output_prefix}.spill{p}"
         sources.append(spill if p == shard.process_id else _ExternalSpill(path))
+    _write_chroms_sidecar(output_prefix, db)
     my_chroms = set(chromosome_ranges(db.num_seqs, shard))
     suffix = f".shard{shard.process_id:04d}"
     rows = _pass2(db, thresholds, sources, output_prefix, my_chroms, suffix)
@@ -463,19 +471,47 @@ def run_pileup_multihost(reference_path: str, mod_bam_path: str,
             "bed_rows": rows, "bins": bins}
 
 
-def merge_pileup_shards(output_prefix: str, n_shards: int) -> None:
-    """Concatenate per-shard BED files; chromosome order is preserved because
-    each shard owns a disjoint chromosome set emitted in sid order (the
-    round-robin interleave keeps global sid order when concatenating shards
-    row-group-wise).  Simpler + exact: re-sort rows by (first-seen chromosome
-    order in any shard, position) is unnecessary since consumers key on
-    (chrom, pos); we concatenate shard files in shard order."""
-    import shutil
+def _write_chroms_sidecar(output_prefix: str, db) -> None:
+    """Record the reference chromosome names in sid order so
+    merge_pileup_shards can interleave shard BEDs back into global sid
+    order without re-reading the FASTA.  Atomic (temp + rename) because
+    every multihost process writes the same content."""
+    tmp = f"{output_prefix}.chroms.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        for sid in range(db.num_seqs):
+            f.write(db.seq_name(sid) + "\n")
+    os.replace(tmp, f"{output_prefix}.chroms")
 
+
+def merge_pileup_shards(output_prefix: str, n_shards: int,
+                        chrom_names: list[str] | None = None) -> None:
+    """Interleave per-shard BED files back into global sid order.
+
+    Each shard's BED holds blocks of rows for the chromosomes it owns
+    (round-robin over sid), in ascending sid order within the shard - so the
+    merged output must interleave one chromosome block at a time, not
+    concatenate shard-major, to be byte-equal to the single-process output
+    (which emits chromosomes in sid order, pileup.cpp:513-595).  The sid
+    order comes from `chrom_names` or the `{output_prefix}.chroms` sidecar
+    written by the sharded pileup runs; chromosomes with no rows are
+    naturally skipped."""
+    if chrom_names is None:
+        sidecar = f"{output_prefix}.chroms"
+        with open(sidecar) as f:
+            chrom_names = [line.rstrip("\n") for line in f]
     for ctx in ("CpG", "CHG", "CHH"):
+        paths = [f"{output_prefix}.{ctx}.cov.bed.shard{s:04d}"
+                 for s in range(n_shards)]
+        readers = [open(p) if os.path.exists(p) else None for p in paths]
+        heads = [r.readline() if r is not None else "" for r in readers]
         with open(f"{output_prefix}.{ctx}.cov.bed", "w") as out:
-            for s in range(n_shards):
-                p = f"{output_prefix}.{ctx}.cov.bed.shard{s:04d}"
-                if os.path.exists(p):
-                    with open(p) as f:
-                        shutil.copyfileobj(f, out)
+            for name in chrom_names:
+                for i, r in enumerate(readers):
+                    if r is None:
+                        continue
+                    while heads[i] and heads[i].split("\t", 1)[0] == name:
+                        out.write(heads[i])
+                        heads[i] = r.readline()
+        for r in readers:
+            if r is not None:
+                r.close()

@@ -17,11 +17,8 @@ def load_bed_methy(path: str, min_cov: int, chr_name2id: dict[str, int]):
     keys, freqs = [], []
     last_chr = None
     last_sid = -1
-    opener = open
-    if path.endswith(".gz"):
-        import gzip
-        opener = gzip.open
-    with opener(path, "rt") as f:
+    from ..utils.lines import open_text
+    with open_text(path) as f:
         for line in f:
             cols = line.rstrip("\n").split("\t")
             if len(cols) < 6:

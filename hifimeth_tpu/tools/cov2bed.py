@@ -14,7 +14,6 @@ Output columns: chr start end freq% pcov ncov motif.
 """
 from __future__ import annotations
 
-import gzip
 import sys
 
 import numpy as np
@@ -72,12 +71,12 @@ def run_cov2bed(reference_path: str, context: str, bismark_path: str,
               "Plausible contexts: CpG, CHG, CHH", file=sys.stderr)
         raise SystemExit(1)
     db = FastaDatabase(reference_path)
-    opener = gzip.open if bismark_path.endswith(".gz") else open
     out = open(bed_path, "w")
     acc: _ChrAccum | None = None
     last_sid = -1
     fs = rs = 0
-    with opener(bismark_path, "rt") as f:
+    from ..utils.lines import open_text
+    with open_text(bismark_path) as f:
         for line in f:
             cols = line.rstrip("\n").split("\t")
             if len(cols) < 6:

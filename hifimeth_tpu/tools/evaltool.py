@@ -13,7 +13,6 @@ Replicates eval.cpp:
 """
 from __future__ import annotations
 
-import gzip
 import sys
 
 import numpy as np
@@ -37,8 +36,8 @@ def load_bismark_labels(db_sizes: dict[str, int], bed_path: str):
     1 methylated (eval.cpp:42-114)."""
     labels = {name: np.full(size, -1, np.int8) for name, size in db_sizes.items()}
     np_, nn = 0, 0
-    opener = gzip.open if bed_path.endswith(".gz") else open
-    with opener(bed_path, "rt") as f:
+    from ..utils.lines import open_text
+    with open_text(bed_path) as f:
         for line in f:
             cols = line.rstrip("\n").split("\t")
             if len(cols) < 6:

@@ -123,7 +123,9 @@ def test_sharded_pileup_matches_single(tmp_path):
                    extra_spill_paths=[other])
     merge_pileup_shards(shard_prefix, n_proc)
 
+    # byte-equal to the single-process output: merge interleaves shard files
+    # back into global sid order (pileup.cpp:513-595 contract)
     for ctx in ("CpG", "CHG", "CHH"):
-        a = sorted(open(f"{single_prefix}.{ctx}.cov.bed").read().splitlines())
-        b = sorted(open(f"{shard_prefix}.{ctx}.cov.bed").read().splitlines())
+        a = open(f"{single_prefix}.{ctx}.cov.bed").read()
+        b = open(f"{shard_prefix}.{ctx}.cov.bed").read()
         assert a == b, f"{ctx} mismatch"

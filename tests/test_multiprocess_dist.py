@@ -63,7 +63,8 @@ def test_two_process_distributed_pileup(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out.decode()[-2000:]}"
     merge_pileup_shards(prefix, 2)
 
+    # byte-equal: merged shard BEDs match the single-process sid order
     for ctx in ("CpG", "CHG", "CHH"):
-        a = sorted(open(f"{single_prefix}.{ctx}.cov.bed").read().splitlines())
-        b = sorted(open(f"{prefix}.{ctx}.cov.bed").read().splitlines())
+        a = open(f"{single_prefix}.{ctx}.cov.bed").read()
+        b = open(f"{prefix}.{ctx}.cov.bed").read()
         assert a == b, f"{ctx} mismatch\n{outs}"

@@ -189,7 +189,11 @@ def test_pallas_call_path_matches_batched():
 
         # bf16 pallas path (bf16 windows straight out of the kernel): same
         # MM strings; ML scaled probs carry bf16 rounding from both the
-        # window features and the convs - bound the error distribution
+        # window features and the convs - bound the error distribution.
+        # NOTE: the numeric bounds below are empirical for THIS fixed RNG
+        # seed + synthetic model; if a seed/model change trips them without
+        # a code change, re-derive the bounds rather than suspecting a
+        # regression (they are distribution checks, not exactness claims).
         c = run("pallas", "bfloat16")
         assert [x[0] for x in c] == [x[0] for x in a]
         deltas = []
