@@ -195,7 +195,13 @@ class CallEngine:
         # 255 makes margins/gaps featurize to zero (dense-layer1 contract)
         self._planes[0].fill(255)
         self._margin = self.models.kmer
-        self._gap = 16                   # >= K-1 zero gap between reads
+        # the inter-read gap must (a) exceed conv K-1 so dense taps never
+        # leak across reads (dense-layer1 contract) and (b) reach kmer//2 so
+        # a window at a read's edge reads ONLY zero-feature positions - which
+        # is what lets the pallas path drop per-site read-bounds masking
+        # (gap/margin positions featurize to exactly 0.0, the reference's
+        # window zero-padding, eval_kmer_features.cpp:40)
+        self._gap = self.models.kmer // 2 + 16
         self._fill = self._margin
         self._pending: list[_PendingRead] = []
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
@@ -275,18 +281,24 @@ class CallEngine:
 
     @classmethod
     def _decompose_batches(cls, nb: int) -> list[int]:
-        """Split a flush's batch count into a sum of bucket-sized dispatch
-        chunks (52 -> [48, 4]) instead of rounding up to one bucket
-        (52 -> 64): each chunk reuses an already-compiled bucket program and
-        flush padding waste drops from the bucket step (up to ~33%) to at
-        most one batch.  Chunks dispatch back-to-back on the same stream, so
-        total device compute is what shrinks."""
-        assert cls._BUCKETS[0] == 1  # guarantees the greedy loop terminates
+        """Split a flush's batch count into bucket-sized dispatch chunks:
+        the largest bucket(s) <= nb, plus the final remainder rounded UP to
+        one bucket (52 -> [48, 4]; 255 -> [192, 64], not [192, 48, 12, 2, 1]).
+        Each chunk reuses an already-compiled bucket program; vs rounding nb
+        up to a single bucket, padding waste drops from the bucket step (up
+        to ~33%) to at most the remainder's step, while the tail stays ONE
+        dispatch - each dispatch carries a fixed latency cost through remote
+        TPU tunnels, so a cascade of small tail chunks costs more than the
+        padding it saves."""
         chunks = []
-        while nb > 0:
-            b = max(b for b in cls._BUCKETS if b <= nb)
-            chunks.append(b)
-            nb -= b
+        top = cls._BUCKETS[-1]
+        while nb > top:
+            chunks.append(top)
+            nb -= top
+        b = max(b for b in cls._BUCKETS if b <= nb)
+        chunks.append(b)
+        if nb - b:
+            chunks.append(cls._bucket_batches(nb - b))
         return chunks
 
     #: block-local fetch geometry (gather_impl="blocked")
@@ -345,9 +357,18 @@ class CallEngine:
     BLOCK_LANES = 2048
 
     def _call_context_pallas(self, ctx: str, feats_t, s):
-        """Group-fetch path: sort sites by position, pack groups of GROUP
-        sites whose window spans fit one block, call call_sites_pallas, and
-        unsort the probs (ops/gather.group_windows_t)."""
+        """Group-fetch path: pack groups of GROUP position-sorted sites whose
+        window spans fit one block, call call_sites_pallas, unsort the probs
+        (ops/gather.group_windows_t).
+
+        The only per-site data shipped to the device is the (ngrp, GROUP)
+        window-start lane table (plus a u8 strand vector when the context
+        has reverse sites); read-edge zero padding comes from the packer's
+        zero-feature gaps, not a mask - see call_sites_pallas.  Host
+        planning is O(n) with no per-site python work: site lists
+        concatenate pre-sorted (reads pack at increasing offsets,
+        features/sites.py emits per-read offsets ascending), and the
+        vectorized plan_groups fast path returns idx=None."""
         from ..features.windows import call_sites_pallas
         from ..ops.gather import CHUNK_LANES, plan_groups
 
@@ -357,18 +378,12 @@ class CallEngine:
         if n == 0:
             return n, None
         strands = np.concatenate(s["strands"])
-        rstart = np.concatenate(s["rstart"])
-        rend = np.concatenate(s["rend"])
-        # reads pack at increasing offsets and per-read site lists ascend, so
-        # CpG/CHG flushes arrive pre-sorted; CHH is nearly sorted (rev hits
-        # recorded at +2) and timsort handles it in ~linear time
         if n > 1 and not np.all(centers[:-1] <= centers[1:]):
             order = np.argsort(centers, kind="stable")
-            c_s, st_s, rs_s, re_s = (a[order]
-                                     for a in (centers, strands, rstart, rend))
+            c_s, st_s = centers[order], strands[order]
         else:
             order = None
-            c_s, st_s, rs_s, re_s = centers, strands, rstart, rend
+            c_s, st_s = centers, strands
 
         hk = self.models.kmer // 2
         G, BL = self.GROUP, self.BLOCK_LANES
@@ -383,55 +398,47 @@ class CallEngine:
         chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
         nb = sum(chunks)
         pad_g = nb * ngrp - ng
-        b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
-        rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
-        # slot-ordered site arrays (padded group slots repeat a real site;
-        # padded groups mask out via rend 0)
-        c_slot = np.zeros(nb * ngrp * G, np.int32)
-        st_slot = np.zeros(nb * ngrp * G, np.uint8)
-        rs_slot = np.zeros(nb * ngrp * G, np.int32)
-        re_slot = np.zeros(nb * ngrp * G, np.int32)
-        contiguous = ng == 0 or (idx.ravel()[:n] == np.arange(n)).all()
-        if contiguous:
-            # trivial chunking: slots are the sorted sites plus a repeated
-            # tail - no fancy gather needed
-            c_slot[:n], st_slot[:n] = c_s, st_s
-            rs_slot[:n], re_slot[:n] = rs_s, re_s
-            if ng * G > n:
-                c_slot[n:ng * G] = c_s[-1]
-                st_slot[n:ng * G] = st_s[-1]
-                rs_slot[n:ng * G] = rs_s[-1]
-                re_slot[n:ng * G] = re_s[-1]
-        else:
-            flat = idx.ravel()
-            c_slot[:ng * G] = c_s[flat]
-            st_slot[:ng * G] = st_s[flat]
-            rs_slot[:ng * G] = rs_s[flat]
-            re_slot[:ng * G] = re_s[flat]
+        if pad_g:
+            # padded groups fetch from the buffer-start margin (base 0) ->
+            # all-zero windows; their prob slots are dropped at emit
+            b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
+            rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
+        # slot-ordered strands, only when the context has reverse sites
+        # (CHH); CpG/CHG skip the array AND the on-device flip select.
+        # Padded slots repeat a real site's window, so their (dropped or
+        # overwritten-with-equal-value) probs need the matching strand.
+        st_slot = None
+        if st_s.any():
+            st_slot = np.zeros(nb * ngrp * G, np.uint8)
+            if idx is None:
+                st_slot[:n] = st_s
+                if ng * G > n:
+                    st_slot[n:ng * G] = st_s[-1]
+            else:
+                st_slot[:ng * G] = st_s[idx.ravel()]
         self.timers["d_plan"] += time.perf_counter() - t_plan
         t_enq = time.perf_counter()
         # one dispatch per bucket chunk; each reuses a cached program and the
-        # chunks run back-to-back on the device stream
+        # chunks run back-to-back on the device stream.  jnp.asarray H2D of
+        # the (small) plan arrays is accounted here, not under d_h2d.
         b128_b = b128.reshape(nb, ngrp)
         rels_b = rels.reshape(nb, ngrp, G)
         probs_parts = []
         o = 0
         for k in chunks:
-            sl = slice(o * ngrp * G, (o + k) * ngrp * G)
+            st_k = (None if st_slot is None
+                    else jnp.asarray(st_slot[o * ngrp * G:(o + k) * ngrp * G]))
             probs_parts.append(call_sites_pallas(
                 self.models.params[ctx], feats_t,
                 jnp.asarray(b128_b[o:o + k]),
-                jnp.asarray(rels_b[o:o + k]),
-                jnp.asarray(c_slot[sl]), jnp.asarray(st_slot[sl]),
-                jnp.asarray(rs_slot[sl]), jnp.asarray(re_slot[sl]),
+                jnp.asarray(rels_b[o:o + k]), st_k,
                 kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
                 spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
                 group=G, block_lanes=BL,
                 interpret=jax.default_backend() == "cpu"))
             o += k
         self.timers["d_enqueue"] += time.perf_counter() - t_enq
-        return n, ("pallas", probs_parts, None if contiguous else idx, order,
-                   ng)
+        return n, ("pallas", probs_parts, idx, order, ng)
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a

@@ -40,21 +40,29 @@ def chg_sites(seq: np.ndarray) -> np.ndarray:
 
 
 def chh_sites(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """CHH offsets and strands in scan order (eval_kmer_features.cpp:67-87).
+    """CHH offsets and strands, position-sorted (eval_kmer_features.cpp:67-87).
 
-    Returns (offsets, strands): forward-motif hits contribute offset i with
-    FWD; reverse-motif hits contribute offset i+2 with REV.  A 3-mer cannot
-    match both (fwd needs C at i, rev needs T/G/A at i).
+    Returns (offsets, strands): forward-motif hits (C[ACT][ACT]) contribute
+    offset i with FWD; reverse-motif hits ([TGA][TGA]G) contribute offset
+    i+2 with REV.  An offset cannot be both (fwd sites sit on 'C', rev
+    sites on 'G').  The reference emits in scan order of i (fwd/rev
+    interleaved, so offsets are NOT monotone); every consumer sorts calls
+    by qoff before building MM/ML (mod_main.cpp:228-253), so position
+    order is an equivalent contract - and pre-sorted per-read lists let
+    the call engine concatenate flush-level site arrays already sorted,
+    skipping the per-flush argsort on its hot path.
     """
-    if len(seq) < 3:
+    L = len(seq)
+    if L < 3:
         z = np.empty(0, np.int64)
         return z, z.astype(np.uint8)
     fwd = (seq[:-2] == _C) & _IS_H[seq[1:-1]] & _IS_H[seq[2:]]
     rev = _IS_D[seq[:-2]] & _IS_D[seq[1:-1]] & (seq[2:] == _G)
-    hit = fwd | rev
-    idx = np.flatnonzero(hit)
-    offs = idx + np.where(fwd[idx], 0, 2)
-    strands = np.where(fwd[idx], FWD, REV).astype(np.uint8)
+    hit = np.zeros(L, dtype=bool)
+    hit[:L - 2] = fwd
+    hit[2:] |= rev
+    offs = np.flatnonzero(hit)
+    strands = np.where(seq[offs] == _G, REV, FWD).astype(np.uint8)
     return offs, strands
 
 

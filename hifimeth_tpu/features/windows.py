@@ -454,9 +454,8 @@ def call_sites_blocked(params, feats: jax.Array, centers: jax.Array,
                                    "conv_impl", "group", "block_lanes",
                                    "interpret"))
 def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
-                      rels: jax.Array, centers: jax.Array,
-                      strands: jax.Array, rstart: jax.Array,
-                      rend: jax.Array, kmer_size: int = KMER_SIZE,
+                      rels: jax.Array, strands: jax.Array | None = None,
+                      kmer_size: int = KMER_SIZE,
                       compute_dtype=jnp.float32, spec: tuple | None = None,
                       conv_impl: str = "direct", group: int = 32,
                       block_lanes: int = 2048,
@@ -466,44 +465,53 @@ def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
     dynamic-slice per site, whose ~1.4 us fixed cost dominates the pipeline
     (25 ms fetch vs 5 ms CNN per 16384-site batch on v5e).
 
+    No per-site read-bounds masking: the engine packs reads with a
+    >= kmer//2 zero-feature gap (seq plane 255 + zero kinetics featurize to
+    exactly 0.0), so window lanes beyond a read's edge read zeros from the
+    table - bit-identical to the reference's window zero-padding
+    (eval_kmer_features.cpp:40) without shipping per-site
+    (center, rstart, rend) arrays to the device or running a (B, 8, kmer)
+    mask multiply over the gather output.
+
     bases (nb, NG) 128-aligned block bases; rels (nb, NG, group) window-start
-    lanes relative to base; centers/strands/rstart/rend (nb, NG*group) in the
-    same sorted slot order (see engine's plan_groups usage).  Returns u8
-    probs (nb * NG * group,) in slot order.
+    lanes relative to base; strands (nb * NG * group,) u8 in the same sorted
+    slot order, or None when every site is forward (CpG/CHG flushes - skips
+    the flip/permute select entirely).  Returns u8 probs
+    (nb * NG * group,) in slot order.
     """
     from ..ops.gather import group_windows_t
 
-    hk = kmer_size // 2
     perm = jnp.asarray(REV_CHANNEL_PERM)
+    nb = bases.shape[0]
+    sb = rels.shape[1] * group
 
     def one(batch):
-        b, r, c, s, rs, re = batch
+        if strands is None:
+            b, r = batch
+            s = None
+        else:
+            b, r, s = batch
         # windows come out of the kernel already in compute_dtype: in bf16
-        # mode that halves the mask/flip/transpose traffic over the largest
+        # mode that halves the flip/transpose traffic over the largest
         # tensor of the gather stage (bit-identical no-op for f32)
         wt = group_windows_t(feats_t, b, r, group=group,
                              block_lanes=block_lanes,
                              interpret=interpret,
                              out_dtype=compute_dtype)    # (SB, 8, OUT_LANES)
         wt = wt[:, :, :kmer_size]
-        j = jnp.arange(kmer_size, dtype=jnp.int32) - hk
-        pos = c[:, None].astype(jnp.int32) + j[None, :]
-        valid = (pos >= rs[:, None]) & (pos < re[:, None])
-        wt = wt * valid[:, None, :].astype(wt.dtype)
-        wt_rev = jnp.flip(wt, axis=2)[:, perm, :]
-        wt = jnp.where((s != 0)[:, None, None], wt_rev, wt)
-        # NCW -> NWC; XLA fuses the transpose + mask/flip into conv1's
-        # input handling
+        if s is not None:
+            wt_rev = jnp.flip(wt, axis=2)[:, perm, :]
+            wt = jnp.where((s != 0)[:, None, None], wt_rev, wt)
+        # NCW -> NWC; XLA fuses the transpose + flip into conv1's input
+        # handling
         w = wt.transpose(0, 2, 1)
         logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
                                  spec=spec, conv_impl=conv_impl)
         return logits_to_scaled_probs(logits)
 
-    nb = bases.shape[0]
-    sb = rels.shape[1] * group
-    probs = jax.lax.map(one, (bases, rels, centers.reshape(nb, sb),
-                              strands.reshape(nb, sb),
-                              rstart.reshape(nb, sb), rend.reshape(nb, sb)))
+    args = ((bases, rels) if strands is None
+            else (bases, rels, strands.reshape(nb, sb)))
+    probs = jax.lax.map(one, args)
     return probs.reshape(-1)
 
 

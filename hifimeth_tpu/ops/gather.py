@@ -243,20 +243,21 @@ def plan_groups(starts_sorted: "np.ndarray", group: int, block_rows: int,
     """Host-side grouping for group_windows: pack position-sorted window
     starts into groups of `group` sites whose span fits one block.
 
-    Returns (bases (ng,) int32, rels (ng, group) int32, idx (ng, group)
-    int64).  idx maps each group slot back to its position in
-    starts_sorted; partial groups are padded by repeating one of the
-    group's real sites (identical windows -> identical probs, so callers
-    can scatter flat results through idx and the duplicates overwrite
-    with the same value).  The common case (every consecutive chunk of
-    `group` sites fits the span cap) is fully vectorized; span violations
-    fall back to a greedy split loop.
+    Returns (bases (ng,) int32, rels (ng, group) int32, idx).  idx maps each
+    group slot back to its position in starts_sorted; partial groups are
+    padded by repeating one of the group's real sites (identical windows ->
+    identical probs, so callers can scatter flat results through idx and the
+    duplicates overwrite with the same value).  In the common fully-
+    vectorized case (every consecutive chunk of `group` sites fits the span
+    cap) slot order IS input order - idx is returned as None so the caller
+    can skip both the idx allocation and the scatter (take flat[:n]
+    directly).  Span violations fall back to a greedy split loop with a
+    real idx.
     """
     n = len(starts_sorted)
     cap = block_rows - (kmer if extent is None else extent)
     if n == 0:
-        return (np.zeros(0, np.int32), np.zeros((0, group), np.int32),
-                np.zeros((0, group), np.int64))
+        return np.zeros(0, np.int32), np.zeros((0, group), np.int32), None
     ng0 = (n + group - 1) // group
     pad = ng0 * group - n
     padded = np.concatenate(
@@ -264,9 +265,7 @@ def plan_groups(starts_sorted: "np.ndarray", group: int, block_rows: int,
     chunks = padded.reshape(ng0, group)
     if (chunks[:, -1] - chunks[:, 0] <= cap).all():
         bases = np.minimum(chunks[:, 0], n_rows - block_rows).astype(np.int32)
-        idx = np.concatenate([np.arange(n, dtype=np.int64),
-                              np.full(pad, n - 1, np.int64)]).reshape(ng0, group)
-        return bases, (chunks - bases[:, None]).astype(np.int32), idx
+        return bases, (chunks - bases[:, None]).astype(np.int32), None
     # greedy split: some group's span exceeds the cap
     bases, rels, idx = [], [], []
     i = 0

@@ -22,6 +22,11 @@ def brute_force_sites(seq: bytes):
             chh.append((i, FWD))
         elif tri in rev_chh:
             chh.append((i + 2, REV))
+    # the reference emits CHH in scan order of i (rev hits land at i+2, so
+    # offsets interleave); chh_sites emits position-sorted - an equivalent
+    # contract since all consumers re-sort by qoff.  Offsets are unique
+    # (fwd on C, rev on G), so sorting by offset is a total order.
+    chh.sort()
     return cpg, chg, chh
 
 
