@@ -394,7 +394,11 @@ class CallEngine:
         b128 = (bases // 128) * 128                  # t-kernel lane alignment
         rels = rels + (bases - b128)[:, None]
         ng = len(bases)
-        ngrp = self.cfg.site_batch // G              # groups per batch
+        # groups per dispatch batch; with a data-parallel mesh each of the
+        # n_data devices runs site_batch sites per lax.map step (shard_map
+        # over the group axis, call_sites_pallas_dp)
+        ndev = self.mesh.shape["data"] if self.mesh is not None else 1
+        ngrp = (self.cfg.site_batch // G) * ndev
         chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
         nb = sum(chunks)
         pad_g = nb * ngrp - ng
@@ -423,19 +427,33 @@ class CallEngine:
         # the (small) plan arrays is accounted here, not under d_h2d.
         b128_b = b128.reshape(nb, ngrp)
         rels_b = rels.reshape(nb, ngrp, G)
+        kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
+                  spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
+                  group=G, block_lanes=BL,
+                  interpret=jax.default_backend() == "cpu")
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..features.windows import call_sites_pallas_dp
+            sh2 = NamedSharding(self.mesh, P(None, "data"))
+            sh3 = NamedSharding(self.mesh, P(None, "data", None))
         probs_parts = []
         o = 0
         for k in chunks:
-            st_k = (None if st_slot is None
-                    else jnp.asarray(st_slot[o * ngrp * G:(o + k) * ngrp * G]))
-            probs_parts.append(call_sites_pallas(
-                self.models.params[ctx], feats_t,
-                jnp.asarray(b128_b[o:o + k]),
-                jnp.asarray(rels_b[o:o + k]), st_k,
-                kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
-                spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
-                group=G, block_lanes=BL,
-                interpret=jax.default_backend() == "cpu"))
+            sl = slice(o * ngrp * G, (o + k) * ngrp * G)
+            if self.mesh is not None:
+                st_k = (None if st_slot is None else jax.device_put(
+                    st_slot[sl].reshape(k, ngrp * G), sh2))
+                probs_parts.append(call_sites_pallas_dp(
+                    self.models.params[ctx], feats_t,
+                    jax.device_put(b128_b[o:o + k], sh2),
+                    jax.device_put(rels_b[o:o + k], sh3), st_k,
+                    mesh=self.mesh, **kw))
+            else:
+                st_k = None if st_slot is None else jnp.asarray(st_slot[sl])
+                probs_parts.append(call_sites_pallas(
+                    self.models.params[ctx], feats_t,
+                    jnp.asarray(b128_b[o:o + k]),
+                    jnp.asarray(rels_b[o:o + k]), st_k, **kw))
             o += k
         self.timers["d_enqueue"] += time.perf_counter() - t_enq
         return n, ("pallas", probs_parts, idx, order, ng)
@@ -444,8 +462,10 @@ class CallEngine:
         """Dispatch all of this flush's sites for one context; returns a
         device array future (fetch with np.asarray later to overlap the
         three contexts)."""
-        if (self.cfg.gather_impl == "pallas" and self.mesh is None
-                and not self.cfg.dense_layer1):
+        if self.cfg.gather_impl == "pallas" and not self.cfg.dense_layer1:
+            # works with or without a data-parallel mesh: multi-chip scales
+            # the SAME group-fetch kernel via shard_map, never silently
+            # downgrading to the slice gather
             return self._call_context_pallas(ctx, feats, s)
         if (self.cfg.gather_impl == "blocked" and self.mesh is None
                 and not self.cfg.dense_layer1):
@@ -518,7 +538,7 @@ class CallEngine:
                     from ..parallel.mesh import replicated
                     planes_dev = jax.device_put(self._planes,
                                                 replicated(self.mesh))
-                if (self.cfg.gather_impl == "pallas" and self.mesh is None
+                if (self.cfg.gather_impl == "pallas"
                         and not self.cfg.dense_layer1):
                     feats = featurize_planes_t(planes_dev)
                 elif (self.cfg.gather_impl == "folded" and self.mesh is None

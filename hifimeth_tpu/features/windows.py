@@ -515,6 +515,63 @@ def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
     return probs.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("mesh", "kmer_size", "compute_dtype",
+                                   "spec", "conv_impl", "group",
+                                   "block_lanes", "interpret"))
+def call_sites_pallas_dp(params, feats_t: jax.Array, bases: jax.Array,
+                         rels: jax.Array, strands: jax.Array | None = None,
+                         *, mesh, kmer_size: int = KMER_SIZE,
+                         compute_dtype=jnp.float32, spec: tuple | None = None,
+                         conv_impl: str = "direct", group: int = 32,
+                         block_lanes: int = 2048,
+                         interpret: bool = False) -> jax.Array:
+    """Data-parallel group-fetch call: shard the group axis over the mesh's
+    `data` axis and run the SAME single-chip pallas program per device
+    (shard_map) - the TPU-native analog of the reference's read-level
+    thread pool (mod_main.cpp:330-350), scaling the fast kernel instead of
+    downgrading to the slice gather.  Params and the feature table are
+    replicated; sites are embarrassingly parallel, so no collectives run in
+    the hot loop.  check_vma=False: pallas_call's out_shape carries no vma,
+    which trips shard_map's varying-mesh-axes checker; the body is manifestly
+    per-shard (no collectives), so the check adds nothing here.
+
+    bases (nb, NGT) / rels (nb, NGT, group) / strands (nb, NGT*group) or
+    None, where NGT = n_data * groups-per-device; group axes shard into
+    per-device contiguous blocks.  Returns u8 probs (nb * NGT * group,) in
+    the same slot order as the single-device path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    statics = dict(kmer_size=kmer_size, compute_dtype=compute_dtype,
+                   spec=spec, conv_impl=conv_impl, group=group,
+                   block_lanes=block_lanes, interpret=interpret)
+    nb = bases.shape[0]
+
+    if strands is None:
+        def local(p, ft, b, r):
+            return call_sites_pallas(p, ft, b, r, None,
+                                     **statics).reshape(b.shape[0], -1)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(None, "data"), P(None, "data", None)),
+            out_specs=P(None, "data"), check_vma=False)
+        out = fn(params, feats_t, bases, rels)
+    else:
+        def local(p, ft, b, r, s):
+            return call_sites_pallas(p, ft, b, r, s.reshape(-1),
+                                     **statics).reshape(b.shape[0], -1)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(None, "data"), P(None, "data", None),
+                      P(None, "data")),
+            out_specs=P(None, "data"), check_vma=False)
+        out = fn(params, feats_t, bases, rels,
+                 strands.reshape(nb, -1))
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",
                                    "conv_impl"))
 def call_sites_grid(params, feats: jax.Array, centers: jax.Array,

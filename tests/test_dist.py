@@ -88,6 +88,39 @@ def test_data_parallel_call_matches_single(tmp_path):
         assert np.abs(pa - pb).max() <= 1
 
 
+def test_data_parallel_pallas_bitequal_single(tmp_path):
+    """The production TPU gather under --data-parallel: the group-fetch
+    pallas path sharded over an 8-device mesh (shard_map,
+    call_sites_pallas_dp) must be BIT-equal to the single-device pallas
+    path - the multi-chip story scales the fast kernel, it does not
+    downgrade to the slice gather."""
+    import jax
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(5)
+    recs = [make_kinetics_read(rng, f"r{i}", 1200 + 111 * i)
+            for i in range(7)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    base = CallConfig(site_batch=128, gather_impl="pallas",
+                      buffer_bases=1 << 15)
+    single = tmp_path / "single.bam"
+    run_call(str(in_bam), str(single), base)
+
+    dp_cfg = CallConfig(site_batch=128, gather_impl="pallas",
+                        buffer_bases=1 << 15, data_parallel=True)
+    dp = tmp_path / "dp.bam"
+    run_call(str(in_bam), str(dp), dp_cfg)
+
+    a = list(BamReader(single))
+    b = list(BamReader(dp))
+    assert [r.qname for r in a] == [r.qname for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.get_tag("MM") == rb.get_tag("MM")
+        np.testing.assert_array_equal(ra.get_tag("ML")[1][1],
+                                      rb.get_tag("ML")[1][1])
+
+
 def test_sharded_pileup_matches_single(tmp_path):
     """2-process pileup simulation: sharded pass 1 + psum-style bins merge +
     chromosome-range pass 2 + shard concat == single-process output."""
