@@ -65,8 +65,7 @@ def main():
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
     ap.add_argument("--gather-impl", default="auto",
-                    choices=["auto", "slice", "u8", "blocked", "folded",
-                             "pallas"])
+                    choices=["auto", "slice", "folded", "pallas"])
     ap.add_argument("--feat-channels", type=int, default=8)
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"

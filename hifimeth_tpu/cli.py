@@ -81,18 +81,15 @@ def _parse_call(argv):
             cfg.buffer_bases = int(argv[i + 1]); i += 2
         elif a == "--data-parallel":
             cfg.data_parallel = True; i += 1
-        elif a == "--dense-layer1":
-            cfg.dense_layer1 = True; i += 1
         elif a == "--feat-channels":
             cfg.feat_channels = int(argv[i + 1]); i += 2
         elif a == "--gather-impl":
             cfg.gather_impl = argv[i + 1]; i += 2
-            if cfg.gather_impl not in ("auto", "slice", "u8", "blocked",
-                                       "folded", "pallas"):
+            if cfg.gather_impl not in ("auto", "slice", "folded", "pallas"):
                 raise SystemExit(
                     f"Illegal argument to option '--gather-impl': "
                     f"{cfg.gather_impl} "
-                    f"(expected auto|slice|u8|blocked|folded|pallas)")
+                    f"(expected auto|slice|folded|pallas)")
         elif a == "--stats-json":
             cfg.stats_json = argv[i + 1]; i += 2
         elif a == "--shard":
@@ -114,7 +111,7 @@ def _parse_call(argv):
               "  -t INT   IO threads (default 8)\n"
               "  --dtype {f32,bf16}   device compute dtype\n"
               "  --buffer-bases INT   packed device buffer capacity\n"
-              "  --gather-impl {auto,slice,u8,blocked,folded,pallas}\n"
+              "  --gather-impl {auto,slice,folded,pallas}\n"
               "           window-fetch path (auto: Pallas group-fetch "
               "kernel on TPU, folded on CPU)",
               file=sys.stderr)

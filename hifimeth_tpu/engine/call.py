@@ -29,9 +29,9 @@ import numpy as np
 from ..constants import CONTEXTS, FWD, KMER_SIZE
 from ..features import sites as sitefind
 from ..features.read_decode import decode_read
-from ..features.windows import (call_sites_batched, call_sites_dense,
-                                call_sites_grid, featurize_planes,
-                                featurize_planes_folded, featurize_planes_t)
+from ..features.windows import (call_sites_batched, call_sites_grid,
+                                featurize_planes, featurize_planes_folded,
+                                featurize_planes_t)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -59,11 +59,11 @@ class CallConfig:
     compute_dtype: str = "float32"       # or "bfloat16"
     conv_impl: str = "direct"            # direct | im2col | auto
     gather_impl: str = "auto"            # auto: pallas group-fetch on TPU,
-                                         # folded on CPU; or slice | u8 |
-                                         # blocked | folded | pallas
+                                         # folded on CPU; or slice | folded |
+                                         # pallas (retired experimental paths
+                                         # live in scripts/experimental_gathers)
     feat_channels: int = 8               # zero-pad table width (8|32|128):
                                          # wider rows = faster window fetch
-    dense_layer1: bool = False           # densified first conv (a trous)
     data_parallel: bool = False          # shard site batches over local chips
     stats_json: str = ""                 # write machine-readable run stats
     io_threads: int = 8                  # BGZF codec pool; the reference
@@ -301,56 +301,6 @@ class CallEngine:
             chunks.append(cls._bucket_batches(nb - b))
         return chunks
 
-    #: block-local fetch geometry (gather_impl="blocked")
-    BLOCK_ROWS = 1 << 17
-
-    def _call_context_blocked(self, ctx: str, feats, s):
-        """Experimental block-local fetch: sort sites by position, pack
-        batches capped at (site_batch sites, BLOCK_ROWS - kmer span), call
-        call_sites_blocked, and unsort the probs."""
-        from ..features.windows import call_sites_blocked
-
-        centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
-        n = len(centers)
-        if n == 0:
-            return n, None
-        strands = np.concatenate(s["strands"])
-        rstart = np.concatenate(s["rstart"])
-        rend = np.concatenate(s["rend"])
-        order = np.argsort(centers, kind="stable")
-        c_s, st_s, rs_s, re_s = (a[order] for a in (centers, strands, rstart, rend))
-
-        bs = self.cfg.site_batch
-        max_span = self.BLOCK_ROWS - self.models.kmer - 8
-        groups = []
-        i = 0
-        while i < n:
-            j = min(i + bs, n)
-            if c_s[j - 1] - c_s[i] > max_span:
-                j = i + int(np.searchsorted(c_s[i:j], c_s[i] + max_span,
-                                            side="right"))
-                j = max(j, i + 1)
-            groups.append((i, j))
-            i = j
-        nb = self._bucket_batches(len(groups))
-        out_c = np.zeros(nb * bs, np.int32)
-        out_st = np.zeros(nb * bs, np.uint8)
-        out_rs = np.zeros(nb * bs, np.int32)
-        out_re = np.zeros(nb * bs, np.int32)
-        for g, (lo, hi) in enumerate(groups):
-            out_c[g * bs:g * bs + hi - lo] = c_s[lo:hi]
-            out_st[g * bs:g * bs + hi - lo] = st_s[lo:hi]
-            out_rs[g * bs:g * bs + hi - lo] = rs_s[lo:hi]
-            out_re[g * bs:g * bs + hi - lo] = re_s[lo:hi]
-        probs_dev = call_sites_blocked(
-            self.models.params[ctx], feats,
-            jnp.asarray(out_c), jnp.asarray(out_st),
-            jnp.asarray(out_rs), jnp.asarray(out_re),
-            site_batch=bs, kmer_size=self.models.kmer,
-            compute_dtype=self.compute_dtype, spec=self.models.specs[ctx],
-            conv_impl=self.cfg.conv_impl, block_rows=self.BLOCK_ROWS)
-        return n, ("blocked", probs_dev, groups, order, bs)
-
     #: Pallas group-fetch geometry (gather_impl="pallas"):
     #: `GROUP` sites share one (8, BLOCK_LANES) HBM->VMEM block DMA
     GROUP = 32
@@ -462,14 +412,11 @@ class CallEngine:
         """Dispatch all of this flush's sites for one context; returns a
         device array future (fetch with np.asarray later to overlap the
         three contexts)."""
-        if self.cfg.gather_impl == "pallas" and not self.cfg.dense_layer1:
+        if self.cfg.gather_impl == "pallas":
             # works with or without a data-parallel mesh: multi-chip scales
             # the SAME group-fetch kernel via shard_map, never silently
             # downgrading to the slice gather
             return self._call_context_pallas(ctx, feats, s)
-        if (self.cfg.gather_impl == "blocked" and self.mesh is None
-                and not self.cfg.dense_layer1):
-            return self._call_context_blocked(ctx, feats, s)
         centers = np.concatenate(s["centers"]) if s["centers"] else np.empty(0, np.int32)
         n = len(centers)
         if n == 0:
@@ -480,7 +427,7 @@ class CallEngine:
         bs = self.cfg.site_batch
         kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
                   spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl)
-        if self.mesh is None and not self.cfg.dense_layer1:
+        if self.mesh is None:
             kw["gather_impl"] = self.cfg.gather_impl
         if self.mesh is not None:
             nb = self._bucket_batches((n + bs - 1) // bs)
@@ -506,7 +453,7 @@ class CallEngine:
             strands = np.concatenate([strands, np.zeros(pad, np.uint8)])
             rstart = np.concatenate([rstart, np.zeros(pad, np.int32)])
             rend = np.concatenate([rend, np.zeros(pad, np.int32)])
-        fn = call_sites_dense if self.cfg.dense_layer1 else call_sites_batched
+        fn = call_sites_batched
         probs_parts = []
         o = 0
         for k in chunks:
@@ -527,26 +474,18 @@ class CallEngine:
         futures = None
         if self._fill > self._margin:
             t_h2d = time.perf_counter()
-            if (self.cfg.gather_impl == "u8" and self.mesh is None
-                    and not self.cfg.dense_layer1):
-                # raw u8 planes, transposed (N, 5): the u8 slice gather
-                # featurizes per window, skipping the (N, 8) f32 table
-                feats = jnp.asarray(np.ascontiguousarray(self._planes.T))
+            planes_dev = jnp.asarray(self._planes)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicated
+                planes_dev = jax.device_put(self._planes,
+                                            replicated(self.mesh))
+            if self.cfg.gather_impl == "pallas":
+                feats = featurize_planes_t(planes_dev)
+            elif self.cfg.gather_impl == "folded" and self.mesh is None:
+                feats = featurize_planes_folded(planes_dev)
             else:
-                planes_dev = jnp.asarray(self._planes)
-                if self.mesh is not None:
-                    from ..parallel.mesh import replicated
-                    planes_dev = jax.device_put(self._planes,
-                                                replicated(self.mesh))
-                if (self.cfg.gather_impl == "pallas"
-                        and not self.cfg.dense_layer1):
-                    feats = featurize_planes_t(planes_dev)
-                elif (self.cfg.gather_impl == "folded" and self.mesh is None
-                        and not self.cfg.dense_layer1):
-                    feats = featurize_planes_folded(planes_dev)
-                else:
-                    feats = featurize_planes(planes_dev,
-                                             out_channels=self.cfg.feat_channels)
+                feats = featurize_planes(planes_dev,
+                                         out_channels=self.cfg.feat_channels)
             self.timers["d_h2d"] += time.perf_counter() - t_h2d
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
@@ -594,16 +533,6 @@ class CallEngine:
                     unsorted = np.empty(n, np.uint8)
                     unsorted[order] = sorted_probs
                     probs[ctx] = unsorted
-            elif isinstance(f, tuple):
-                # blocked-mode result: unpack span-capped batches + unsort
-                _, probs_dev, groups, order, bs = f
-                flat = np.asarray(probs_dev)
-                sorted_probs = np.empty(n, np.uint8)
-                for g, (lo, hi) in enumerate(groups):
-                    sorted_probs[lo:hi] = flat[g * bs:g * bs + hi - lo]
-                unsorted = np.empty(n, np.uint8)
-                unsorted[order] = sorted_probs
-                probs[ctx] = unsorted
             elif isinstance(f, list):
                 # bucket-chunked dispatches: concatenate the chunk results
                 probs[ctx] = np.concatenate(

@@ -1,4 +1,5 @@
-"""call_sites_dense (densified first conv) must EXACTLY reproduce the
+"""Retired experimental paths (scripts/experimental_gathers.py) keep
+their parity tests: call_sites_dense (densified first conv) must reproduce the
 windowed pipeline, including read edges, both strands, and both shipped
 kernel sizes (11 and 13)."""
 import numpy as np
@@ -7,8 +8,10 @@ import pytest
 import jax.numpy as jnp
 
 from hifimeth_tpu.engine.call import ModelSet, default_model_dir
-from hifimeth_tpu.features.windows import (call_sites_batched,
-                                           call_sites_dense,
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from experimental_gathers import call_sites_dense  # noqa: E402
+from hifimeth_tpu.features.windows import (call_sites_batched,  # noqa: E402
                                            featurize_planes)
 
 
