@@ -144,6 +144,12 @@ class CallEngine:
             # would run in the interpreter there)
             cfg.gather_impl = ("folded" if jax.default_backend() == "cpu"
                                else "pallas")
+        if cfg.gather_impl not in ("slice", "folded", "pallas"):
+            # fail fast like the reference option parser (mod_options.cpp:61-134);
+            # retired experimental impls live in scripts/experimental_gathers.py
+            raise ValueError(
+                f"unknown gather_impl {cfg.gather_impl!r}; "
+                f"choose auto, slice, folded, or pallas")
         # packing/fold/alignment contracts (folded: N % 16, pallas: block
         # base clipping) want a 128-multiple buffer capacity
         cfg.buffer_bases = -(-cfg.buffer_bases // 128) * 128

@@ -97,8 +97,8 @@ def window_rows(d_table: jax.Array, dr_table: jax.Array,
         num_scalar_prefetch=2,
         grid=(B // spp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((spp, out_rows, C), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
@@ -141,7 +141,7 @@ def window_slices(feats: jax.Array, starts: jax.Array, kmer: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // spp,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((spp, kmer, C), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((spp, kmer, C), feats.dtype),
@@ -221,7 +221,7 @@ def group_windows(feats: jax.Array, bases: jax.Array, rels: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, group, kmer, C),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
@@ -363,7 +363,7 @@ def group_windows_t(feats_t: jax.Array, bases: jax.Array, rels: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, group, 8, OUT_LANES),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[

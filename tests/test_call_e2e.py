@@ -129,39 +129,11 @@ def test_feat_channels_padding_identical(tmp_path):
                                       rb.get_tag("ML")[1][1])
 
 
-def test_blocked_gather_identical(tmp_path):
-    """gather_impl=blocked (span-capped block-local fetch) must give
-    byte-identical tags, including across span-forced batch splits."""
-    rng = np.random.default_rng(99)
-    recs = [make_kinetics_read(rng, f"r{i}", 1400) for i in range(6)]
-    in_bam = tmp_path / "in.bam"
-    write_bam(in_bam, recs)
-    a_bam = tmp_path / "a.bam"
-    b_bam = tmp_path / "b.bam"
-    cfg_a = CallConfig(site_batch=256)
-    run_call(str(in_bam), str(a_bam), cfg_a)
-    cfg_b = CallConfig(site_batch=256, gather_impl="blocked")
-    run_call(str(in_bam), str(b_bam), cfg_b)
-    for ra, rb in zip(BamReader(a_bam), BamReader(b_bam)):
-        assert ra.get_tag("MM") == rb.get_tag("MM")
-        np.testing.assert_array_equal(ra.get_tag("ML")[1][1],
-                                      rb.get_tag("ML")[1][1])
-
-
-def test_blocked_gather_span_split(tmp_path, monkeypatch):
-    """Force tiny BLOCK_ROWS so batches split on span; results unchanged."""
-    from hifimeth_tpu.engine import call as call_mod
-    monkeypatch.setattr(call_mod.CallEngine, "BLOCK_ROWS", 2048)
-    rng = np.random.default_rng(100)
-    recs = [make_kinetics_read(rng, f"r{i}", 1500) for i in range(3)]
-    in_bam = tmp_path / "in.bam"
-    write_bam(in_bam, recs)
-    a_bam = tmp_path / "a.bam"
-    b_bam = tmp_path / "b.bam"
-    run_call(str(in_bam), str(a_bam), CallConfig(contexts=("CHH",), site_batch=512))
-    run_call(str(in_bam), str(b_bam), CallConfig(contexts=("CHH",), site_batch=512,
-                                                 gather_impl="blocked"))
-    for ra, rb in zip(BamReader(a_bam), BamReader(b_bam)):
-        assert ra.get_tag("MM") == rb.get_tag("MM")
-        np.testing.assert_array_equal(ra.get_tag("ML")[1][1],
-                                      rb.get_tag("ML")[1][1])
+def test_unknown_gather_impl_rejected():
+    """Retired/unknown gather_impl values must fail fast, never silently
+    fall back to another path (reference rejects bad options at parse time,
+    mod_options.cpp:61-134)."""
+    from hifimeth_tpu.engine.call import CallEngine
+    for bad in ("blocked", "u8", "dense", ""):
+        with pytest.raises(ValueError, match="gather_impl"):
+            CallEngine(CallConfig(gather_impl=bad))

@@ -10,9 +10,11 @@ import jax.numpy as jnp
 from hifimeth_tpu.engine.call import ModelSet, default_model_dir
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-from experimental_gathers import call_sites_dense  # noqa: E402
+from experimental_gathers import (call_sites_dense,  # noqa: E402
+                                  gather_windows_slice_u8)
 from hifimeth_tpu.features.windows import (call_sites_batched,  # noqa: E402
-                                           featurize_planes)
+                                           featurize_planes,
+                                           gather_windows_slice)
 
 
 def _make_buffer(rng, cap, margin, gap, read_lens):
@@ -79,3 +81,34 @@ def test_dense_matches_windowed(ctx):
         f"{ctx}: dense path deviates: max {diff.max()}, "
         f"n>{1}: {(diff > 1).sum()}/{n}")
     assert (diff > 0).mean() < 0.05
+
+
+def test_u8_slice_gather_matches_f32_slice():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    cap = 4096
+    margin = 401
+    planes = np.zeros((5, cap), np.uint8)
+    planes[0].fill(255)
+    planes[0, margin:cap - margin] = rng.integers(0, 4, cap - 2 * margin)
+    planes[1:, margin:cap - margin] = rng.integers(0, 256, (4, cap - 2 * margin))
+    B = 64
+    centers = rng.integers(margin, cap - margin, B).astype(np.int32)
+    strands = rng.integers(0, 2, B).astype(np.uint8)
+    rstart = np.full(B, margin, np.int32)
+    rend = np.full(B, cap - margin, np.int32)
+    rstart[::3] = centers[::3] - 20
+    rend[::5] = centers[::5] + 9
+
+    feats = featurize_planes(jnp.asarray(planes))
+    a = np.asarray(gather_windows_slice(feats, jnp.asarray(centers),
+                                        jnp.asarray(strands),
+                                        jnp.asarray(rstart),
+                                        jnp.asarray(rend)))
+    pt = jnp.asarray(np.ascontiguousarray(planes.T))
+    b = np.asarray(gather_windows_slice_u8(pt, jnp.asarray(centers),
+                                           jnp.asarray(strands),
+                                           jnp.asarray(rstart),
+                                           jnp.asarray(rend)))
+    np.testing.assert_array_equal(a, b)

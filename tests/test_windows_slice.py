@@ -48,37 +48,6 @@ def test_slice_gather_padded_dummy_sites():
     assert (out == 0).all()
 
 
-def test_u8_slice_gather_matches_f32_slice():
-    from hifimeth_tpu.features.windows import gather_windows_slice_u8
-
-    rng = np.random.default_rng(2)
-    cap = 4096
-    margin = 401
-    planes = np.zeros((5, cap), np.uint8)
-    planes[0].fill(255)
-    planes[0, margin:cap - margin] = rng.integers(0, 4, cap - 2 * margin)
-    planes[1:, margin:cap - margin] = rng.integers(0, 256, (4, cap - 2 * margin))
-    B = 64
-    centers = rng.integers(margin, cap - margin, B).astype(np.int32)
-    strands = rng.integers(0, 2, B).astype(np.uint8)
-    rstart = np.full(B, margin, np.int32)
-    rend = np.full(B, cap - margin, np.int32)
-    rstart[::3] = centers[::3] - 20
-    rend[::5] = centers[::5] + 9
-
-    feats = featurize_planes(jnp.asarray(planes))
-    a = np.asarray(gather_windows_slice(feats, jnp.asarray(centers),
-                                        jnp.asarray(strands),
-                                        jnp.asarray(rstart),
-                                        jnp.asarray(rend)))
-    pt = jnp.asarray(np.ascontiguousarray(planes.T))
-    b = np.asarray(gather_windows_slice_u8(pt, jnp.asarray(centers),
-                                           jnp.asarray(strands),
-                                           jnp.asarray(rstart),
-                                           jnp.asarray(rend)))
-    np.testing.assert_array_equal(a, b)
-
-
 def test_folded_gather_matches_f32_slice():
     from hifimeth_tpu.features.windows import (featurize_planes_folded,
                                                gather_windows_folded)
