@@ -31,7 +31,7 @@ from ..features import sites as sitefind
 from ..features.read_decode import decode_read
 from ..features.windows import (call_sites_batched, call_sites_grid,
                                 featurize_planes, featurize_planes_folded,
-                                featurize_planes_t)
+                                featurize_planes_t, featurize_planes_t_seg)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
@@ -209,6 +209,14 @@ class CallEngine:
         # window zero-padding, eval_kmer_features.cpp:40)
         self._gap = self.models.kmer // 2 + 16
         self._fill = self._margin
+        # incremental H2D: the packed buffer ships to the device in
+        # cap/H2D_SEGMENTS pieces as reads finalize them, so the ~20 MB/flush
+        # transfer (~300 ms through a remote-TPU tunnel) overlaps host
+        # decode/site-scan work instead of serializing in front of the
+        # flush's device compute (pallas path only; the slice/folded paths
+        # ship the whole buffer at flush)
+        self._seg_size = cap // self.H2D_SEGMENTS
+        self._segments: list = []
         self._pending: list[_PendingRead] = []
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
                        for ctx in self.cfg.contexts}
@@ -254,6 +262,10 @@ class CallEngine:
         self._planes[3, start:end] = read.ri
         self._planes[4, start:end] = read.rp
         self._fill = end + self._gap
+        if self.cfg.gather_impl == "pallas":
+            # stream finalized plane segments to the device now, overlapping
+            # the transfer with the remaining host decode/site-scan work
+            self._ship_segments(self._fill // self._seg_size)
         self.timers["pack"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -311,6 +323,25 @@ class CallEngine:
     #: `GROUP` sites share one (8, BLOCK_LANES) HBM->VMEM block DMA
     GROUP = 32
     BLOCK_LANES = 2048
+    #: plane-buffer H2D segmentation (pallas path, see _reset_buffer)
+    H2D_SEGMENTS = 8
+
+    def _ship_segments(self, n_seg: int):
+        """Enqueue async H2D copies of plane segments [len(shipped), n_seg).
+        A segment ships only once everything below it is final (reads pack
+        forward-only), so later packing never races the transfer; the
+        explicit host copy decouples the staging bytes from self._planes."""
+        n_seg = min(n_seg, self.H2D_SEGMENTS)
+        seg = self._seg_size
+        rep = None
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            rep = replicated(self.mesh)
+        while len(self._segments) < n_seg:
+            a = len(self._segments) * seg
+            piece = np.ascontiguousarray(self._planes[:, a:a + seg])
+            self._segments.append(jnp.asarray(piece) if rep is None
+                                  else jax.device_put(piece, rep))
 
     def _call_context_pallas(self, ctx: str, feats_t, s):
         """Group-fetch path: pack groups of GROUP position-sorted sites whose
@@ -318,13 +349,17 @@ class CallEngine:
         (ops/gather.group_windows_t).
 
         The only per-site data shipped to the device is the (ngrp, GROUP)
-        window-start lane table (plus a u8 strand vector when the context
-        has reverse sites); read-edge zero padding comes from the packer's
-        zero-feature gaps, not a mask - see call_sites_pallas.  Host
-        planning is O(n) with no per-site python work: site lists
+        window-start lane table; read-edge zero padding comes from the
+        packer's zero-feature gaps, not a mask - see call_sites_pallas.
+        Host planning is O(n) with no per-site python work: site lists
         concatenate pre-sorted (reads pack at increasing offsets,
         features/sites.py emits per-read offsets ascending), and the
-        vectorized plan_groups fast path returns idx=None."""
+        vectorized plan_groups fast path returns idx=None.
+
+        Reverse-strand sites (CHH) dispatch as a SEPARATE stream through the
+        statically-flipped rev=True program: no per-site strand vector ships
+        and no flip/permute select runs over the window tensor (which cost
+        +62% per CHH batch vs the forward-only program)."""
         from ..features.windows import call_sites_pallas
         from ..ops.gather import CHUNK_LANES, plan_groups
 
@@ -344,45 +379,45 @@ class CallEngine:
         hk = self.models.kmer // 2
         G, BL = self.GROUP, self.BLOCK_LANES
         n_rows = self.cfg.buffer_bases
-        bases, rels, idx = plan_groups(
-            (c_s - hk).astype(np.int32), G, BL, self.models.kmer, n_rows,
-            extent=CHUNK_LANES + 127)
-        b128 = (bases // 128) * 128                  # t-kernel lane alignment
-        rels = rels + (bases - b128)[:, None]
-        ng = len(bases)
         # groups per dispatch batch; with a data-parallel mesh each of the
         # n_data devices runs site_batch sites per lax.map step (shard_map
         # over the group axis, call_sites_pallas_dp)
         ndev = self.mesh.shape["data"] if self.mesh is not None else 1
         ngrp = (self.cfg.site_batch // G) * ndev
-        chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
-        nb = sum(chunks)
-        pad_g = nb * ngrp - ng
-        if pad_g:
-            # padded groups fetch from the buffer-start margin (base 0) ->
-            # all-zero windows; their prob slots are dropped at emit
-            b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
-            rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
-        # slot-ordered strands, only when the context has reverse sites
-        # (CHH); CpG/CHG skip the array AND the on-device flip select.
-        # Padded slots repeat a real site's window, so their (dropped or
-        # overwritten-with-equal-value) probs need the matching strand.
-        st_slot = None
+
         if st_s.any():
-            st_slot = np.zeros(nb * ngrp * G, np.uint8)
-            if idx is None:
-                st_slot[:n] = st_s
-                if ng * G > n:
-                    st_slot[n:ng * G] = st_s[-1]
-            else:
-                st_slot[:ng * G] = st_s[idx.ravel()]
+            streams = [(np.flatnonzero(st_s == 0), False),
+                       (np.flatnonzero(st_s == 1), True)]
+        else:
+            streams = [(None, False)]
+
+        plan = []
+        for sel, rev in streams:
+            cs = c_s if sel is None else c_s[sel]
+            if len(cs) == 0:
+                continue
+            bases, rels, idx = plan_groups(
+                (cs - hk).astype(np.int32), G, BL, self.models.kmer, n_rows,
+                extent=CHUNK_LANES + 127)
+            b128 = (bases // 128) * 128              # t-kernel lane alignment
+            rels = rels + (bases - b128)[:, None]
+            ng = len(bases)
+            chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
+            nb = sum(chunks)
+            pad_g = nb * ngrp - ng
+            if pad_g:
+                # padded groups fetch from the buffer-start margin (base 0)
+                # -> all-zero windows; their prob slots are dropped at emit
+                b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
+                rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
+            plan.append((sel, rev, b128.reshape(nb, ngrp),
+                         rels.reshape(nb, ngrp, G), idx, ng, chunks))
         self.timers["d_plan"] += time.perf_counter() - t_plan
+
         t_enq = time.perf_counter()
         # one dispatch per bucket chunk; each reuses a cached program and the
         # chunks run back-to-back on the device stream.  jnp.asarray H2D of
         # the (small) plan arrays is accounted here, not under d_h2d.
-        b128_b = b128.reshape(nb, ngrp)
-        rels_b = rels.reshape(nb, ngrp, G)
         kw = dict(kmer_size=self.models.kmer, compute_dtype=self.compute_dtype,
                   spec=self.models.specs[ctx], conv_impl=self.cfg.conv_impl,
                   group=G, block_lanes=BL,
@@ -392,27 +427,26 @@ class CallEngine:
             from ..features.windows import call_sites_pallas_dp
             sh2 = NamedSharding(self.mesh, P(None, "data"))
             sh3 = NamedSharding(self.mesh, P(None, "data", None))
-        probs_parts = []
-        o = 0
-        for k in chunks:
-            sl = slice(o * ngrp * G, (o + k) * ngrp * G)
-            if self.mesh is not None:
-                st_k = (None if st_slot is None else jax.device_put(
-                    st_slot[sl].reshape(k, ngrp * G), sh2))
-                probs_parts.append(call_sites_pallas_dp(
-                    self.models.params[ctx], feats_t,
-                    jax.device_put(b128_b[o:o + k], sh2),
-                    jax.device_put(rels_b[o:o + k], sh3), st_k,
-                    mesh=self.mesh, **kw))
-            else:
-                st_k = None if st_slot is None else jnp.asarray(st_slot[sl])
-                probs_parts.append(call_sites_pallas(
-                    self.models.params[ctx], feats_t,
-                    jnp.asarray(b128_b[o:o + k]),
-                    jnp.asarray(rels_b[o:o + k]), st_k, **kw))
-            o += k
+        results = []
+        for sel, rev, b128_b, rels_b, idx, ng, chunks in plan:
+            probs_parts = []
+            o = 0
+            for k in chunks:
+                if self.mesh is not None:
+                    probs_parts.append(call_sites_pallas_dp(
+                        self.models.params[ctx], feats_t,
+                        jax.device_put(b128_b[o:o + k], sh2),
+                        jax.device_put(rels_b[o:o + k], sh3), rev,
+                        mesh=self.mesh, **kw))
+                else:
+                    probs_parts.append(call_sites_pallas(
+                        self.models.params[ctx], feats_t,
+                        jnp.asarray(b128_b[o:o + k]),
+                        jnp.asarray(rels_b[o:o + k]), rev, **kw))
+                o += k
+            results.append((probs_parts, idx, sel, ng))
         self.timers["d_enqueue"] += time.perf_counter() - t_enq
-        return n, ("pallas", probs_parts, idx, order, ng)
+        return n, ("pallas", results, order)
 
     def _call_context(self, ctx: str, feats, s):
         """Dispatch all of this flush's sites for one context; returns a
@@ -480,18 +514,27 @@ class CallEngine:
         futures = None
         if self._fill > self._margin:
             t_h2d = time.perf_counter()
-            planes_dev = jnp.asarray(self._planes)
-            if self.mesh is not None:
-                from ..parallel.mesh import replicated
-                planes_dev = jax.device_put(self._planes,
-                                            replicated(self.mesh))
             if self.cfg.gather_impl == "pallas":
-                feats = featurize_planes_t(planes_dev)
-            elif self.cfg.gather_impl == "folded" and self.mesh is None:
-                feats = featurize_planes_folded(planes_dev)
+                # ship whatever segments the block DMAs can touch (windows
+                # read up to BLOCK_LANES past the last packed base); most of
+                # the buffer is usually already on the device (_ship_segments
+                # from add_read), and the unshipped tail featurizes to zeros
+                need = min(self.cfg.buffer_bases,
+                           self._fill + self.BLOCK_LANES + 128)
+                self._ship_segments(-(-need // self._seg_size))
+                feats = featurize_planes_t_seg(tuple(self._segments),
+                                               cap=self.cfg.buffer_bases)
             else:
-                feats = featurize_planes(planes_dev,
-                                         out_channels=self.cfg.feat_channels)
+                planes_dev = jnp.asarray(self._planes)
+                if self.mesh is not None:
+                    from ..parallel.mesh import replicated
+                    planes_dev = jax.device_put(self._planes,
+                                                replicated(self.mesh))
+                if self.cfg.gather_impl == "folded" and self.mesh is None:
+                    feats = featurize_planes_folded(planes_dev)
+                else:
+                    feats = featurize_planes(planes_dev,
+                                             out_channels=self.cfg.feat_channels)
             self.timers["d_h2d"] += time.perf_counter() - t_h2d
             # dispatch all contexts (async); D2H resolution happens when the
             # NEXT flush lands (or at finalize)
@@ -514,25 +557,54 @@ class CallEngine:
         if prev is not None:
             self._emit(prev, out)
 
+    @staticmethod
+    def _future_parts(f):
+        """Device arrays inside one context's dispatch future."""
+        if f is None:
+            return ()
+        if isinstance(f, tuple) and f[0] == "pallas":
+            return [p for (parts, _, _, _) in f[1] for p in parts]
+        return f if isinstance(f, list) else (f,)
+
     def _emit(self, inflight, out: list):
         pending, futures = inflight
         t0 = time.perf_counter()
+        # Start every chunk's D2H copy before blocking on any: through a
+        # remote-device tunnel each np.asarray is a full round-trip, so
+        # serial fetches of the ~6 per-flush chunk results cost ~6 RTTs
+        # (~150 ms) while async-then-collect costs ~1.
+        if futures is not None:
+            for ctx in self.cfg.contexts:
+                for p in self._future_parts(futures[ctx][1]):
+                    try:
+                        p.copy_to_host_async()
+                    except AttributeError:
+                        pass
         probs = {}
         for ctx in self.cfg.contexts:
             n, f = futures[ctx] if futures is not None else (0, None)
             if f is None:
                 probs[ctx] = np.empty(0, np.uint8)
             elif isinstance(f, tuple) and f[0] == "pallas":
-                # group-fetch result: scatter slots back through idx (padded
-                # slots duplicate a real site -> same value; idx None means
-                # trivial chunking), then unsort (order None = pre-sorted)
-                _, probs_parts, idx, order, ng = f
-                flat = np.concatenate([np.asarray(p) for p in probs_parts])
-                if idx is None:
-                    sorted_probs = flat[:n]
-                else:
-                    sorted_probs = np.empty(n, np.uint8)
-                    sorted_probs[idx.ravel()] = flat[:ng * idx.shape[1]]
+                # group-fetch result, one stream per strand: scatter each
+                # stream's slots back through its idx (padded slots duplicate
+                # a real site -> same value; idx None means trivial
+                # chunking), place into position-sorted order via sel, then
+                # unsort (order None = pre-sorted)
+                _, streams, order = f
+                sorted_probs = np.empty(n, np.uint8)
+                for probs_parts, idx, sel, ng in streams:
+                    flat = np.concatenate([np.asarray(p) for p in probs_parts])
+                    m = n if sel is None else len(sel)
+                    if idx is None:
+                        sp = flat[:m]
+                    else:
+                        sp = np.empty(m, np.uint8)
+                        sp[idx.ravel()] = flat[:ng * idx.shape[1]]
+                    if sel is None:
+                        sorted_probs = sp
+                    else:
+                        sorted_probs[sel] = sp
                 if order is None:
                     probs[ctx] = sorted_probs
                 else:

@@ -27,12 +27,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import CODEV1_TO_FRAME_NORM, KMER_SIZE
+from ..constants import KMER_SIZE
 from ..model.cnn import dnamodnet_apply, logits_to_scaled_probs
 
 # channel permutation applied to reverse-strand windows:
 # one-hot A,C,G,T -> T,G,C,A (complement) ; (fi,fp,ri,rp) -> (ri,rp,fi,fp)
 REV_CHANNEL_PERM = np.array([3, 2, 1, 0, 6, 7, 4, 5], dtype=np.int32)
+
+
+def _codev1_norm(kin_u8: jax.Array) -> jax.Array:
+    """codeV1 byte -> frame/952 f32 kinetics normalization.
+
+    On TPU the 256-entry vector gather lowers poorly (~160 ms per 4 Mi-
+    position table build, measured scripts/microbench_featurize.py) - but
+    the codeV1 decode is 4 piecewise-linear integer segments
+    (bam_info.cpp:562-570), so it is computable with 3 selects + a divide
+    at ~no cost.  XLA rewrites the divide-by-constant into a reciprocal
+    multiply, leaving ~1/3 of the 256 code values 1 ulp away from the
+    host-side CODEV1_TO_FRAME_NORM table, so the arithmetic form is used
+    only off-CPU where the +/-1-u8 scaled-prob contract
+    (mod_batch.cpp:46-64) absorbs it; the CPU backend (tests, interpret-
+    mode parity) keeps the table gather, which is cheap there and
+    bit-identical to the host golden extractor.  The branch resolves at
+    trace time, so on any single backend every device path shares one
+    implementation and device paths stay mutually bit-identical.
+    """
+    if jax.default_backend() == "cpu":
+        from ..constants import CODEV1_TO_FRAME_NORM
+        return jnp.asarray(CODEV1_TO_FRAME_NORM)[kin_u8]
+    c = kin_u8.astype(jnp.float32)
+    v = jnp.where(c < 64, c,
+                  jnp.where(c < 128, 2.0 * c - 64.0,
+                            jnp.where(c < 192, 4.0 * c - 320.0,
+                                      8.0 * c - 1088.0)))
+    return v / 952.0
 
 
 @partial(jax.jit, static_argnames=("out_channels",))
@@ -46,8 +74,7 @@ def featurize_planes(planes: jax.Array, out_channels: int = 8) -> jax.Array:
     zero-padded to match (engine), keeping results bit-identical."""
     codes = planes[0]
     onehot = (codes[:, None] == jnp.arange(4, dtype=codes.dtype)).astype(jnp.float32)
-    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
-    kin = table[planes[1:5]]                       # (4, N) f32
+    kin = _codev1_norm(planes[1:5])                # (4, N) f32
     out = jnp.concatenate([onehot, kin.T], axis=1)
     if out_channels > 8:
         out = jnp.pad(out, ((0, 0), (0, out_channels - 8)))
@@ -127,12 +154,32 @@ def featurize_planes_t(planes: jax.Array) -> jax.Array:
     Channel-major layout for the Pallas group-fetch kernel
     (ops/gather.group_windows_t): the minor dim is the position axis, so
     blocks of the table and the extracted windows are exactly 128-lane
-    tiled with no padding at the XLA<->Pallas boundary."""
+    tiled with no padding at the XLA<->Pallas boundary.  The table stays
+    f32 even in bf16 mode: an (8, N) bf16 array tiles as (16, 128) with 8
+    padded sublanes, so a bf16 table would cost the same HBM bytes - the
+    kernel instead casts to bf16 at its output write."""
     codes = planes[0]
     onehot = (codes[None, :] == jnp.arange(4, dtype=codes.dtype)[:, None])
-    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
-    kin = table[planes[1:5]]                       # (4, N) f32
+    kin = _codev1_norm(planes[1:5])                # (4, N) f32
     return jnp.concatenate([onehot.astype(jnp.float32), kin], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def featurize_planes_t_seg(segments: tuple, cap: int) -> jax.Array:
+    """Segmented variant of featurize_planes_t: `segments` is a tuple of
+    (5, SEG) u8 plane pieces covering a prefix of the packed buffer, shipped
+    to the device incrementally while the host was still decoding reads
+    (each jnp.asarray H2D is async, so the 20 MB/flush transfer overlaps
+    host work instead of serializing in front of the flush's compute).
+    The unshipped tail is materialized as zero features - exactly what the
+    packer's 255/0 fill featurizes to - so the result is bit-identical to
+    featurize_planes_t over the full (5, cap) buffer."""
+    x = jnp.concatenate(segments, axis=1)
+    feats = featurize_planes_t(x)
+    pad = cap - feats.shape[1]
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad)))
+    return feats
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "fold"))
@@ -205,19 +252,18 @@ def gather_and_featurize(planes_t: jax.Array, centers: jax.Array,
     is_rev = (strands != 0)[:, None]
     codes = jnp.where(is_rev & (codes < 4), 3 - codes, codes)
     onehot = (codes[..., None] == jnp.arange(4, dtype=codes.dtype)).astype(jnp.float32)
-    table = jnp.asarray(CODEV1_TO_FRAME_NORM)
-    kin = table[w[..., 1:5]]                       # (B, kmer, 4) f32
+    kin = _codev1_norm(w[..., 1:5])                # (B, kmer, 4) f32
     kin_rev = kin[..., jnp.asarray([2, 3, 0, 1])]
     kin = jnp.where(is_rev[..., None], kin_rev, kin)
     out = jnp.concatenate([onehot, kin], axis=-1)
     return out * valid[..., None].astype(out.dtype)
 
 
-@partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",
-                                   "conv_impl", "group", "block_lanes",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("rev", "kmer_size", "compute_dtype",
+                                   "spec", "conv_impl", "group",
+                                   "block_lanes", "interpret"))
 def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
-                      rels: jax.Array, strands: jax.Array | None = None,
+                      rels: jax.Array, rev: bool = False,
                       kmer_size: int = KMER_SIZE,
                       compute_dtype=jnp.float32, spec: tuple | None = None,
                       conv_impl: str = "direct", group: int = 32,
@@ -236,24 +282,22 @@ def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
     (center, rstart, rend) arrays to the device or running a (B, 8, kmer)
     mask multiply over the gather output.
 
+    Strand handling is STATIC: the engine routes forward and reverse sites
+    into separate dispatches (rev=False / rev=True programs).  The reverse
+    program applies the window flip + channel permutation unconditionally,
+    which XLA fuses into the NCW->NWC relayout feeding conv1 - measured
+    ~40% cheaper per batch than the old per-site
+    flip+permute+jnp.where select over the full window tensor, and no
+    per-site strand array ships to the device at all.
+
     bases (nb, NG) 128-aligned block bases; rels (nb, NG, group) window-start
-    lanes relative to base; strands (nb * NG * group,) u8 in the same sorted
-    slot order, or None when every site is forward (CpG/CHG flushes - skips
-    the flip/permute select entirely).  Returns u8 probs
-    (nb * NG * group,) in slot order.
+    lanes relative to base.  Returns u8 probs (nb * NG * group,) in slot
+    order.
     """
     from ..ops.gather import group_windows_t
 
-    perm = jnp.asarray(REV_CHANNEL_PERM)
-    nb = bases.shape[0]
-    sb = rels.shape[1] * group
-
     def one(batch):
-        if strands is None:
-            b, r = batch
-            s = None
-        else:
-            b, r, s = batch
+        b, r = batch
         # windows come out of the kernel already in compute_dtype: in bf16
         # mode that halves the flip/transpose traffic over the largest
         # tensor of the gather stage (bit-identical no-op for f32)
@@ -262,27 +306,26 @@ def call_sites_pallas(params, feats_t: jax.Array, bases: jax.Array,
                              interpret=interpret,
                              out_dtype=compute_dtype)    # (SB, 8, OUT_LANES)
         wt = wt[:, :, :kmer_size]
-        if s is not None:
-            wt_rev = jnp.flip(wt, axis=2)[:, perm, :]
-            wt = jnp.where((s != 0)[:, None, None], wt_rev, wt)
-        # NCW -> NWC; XLA fuses the transpose + flip into conv1's input
-        # handling
+        if rev:
+            # reverse-strand window = flipped lanes + complement/swap channel
+            # permutation (one-hot complement = channel reversal)
+            wt = jnp.flip(wt, axis=2)[:, jnp.asarray(REV_CHANNEL_PERM), :]
+        # NCW -> NWC; XLA fuses the transpose (and the static flip/perm)
+        # into conv1's input handling
         w = wt.transpose(0, 2, 1)
         logits = dnamodnet_apply(params, w, compute_dtype=compute_dtype,
                                  spec=spec, conv_impl=conv_impl)
         return logits_to_scaled_probs(logits)
 
-    args = ((bases, rels) if strands is None
-            else (bases, rels, strands.reshape(nb, sb)))
-    probs = jax.lax.map(one, args)
+    probs = jax.lax.map(one, (bases, rels))
     return probs.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("mesh", "kmer_size", "compute_dtype",
-                                   "spec", "conv_impl", "group",
-                                   "block_lanes", "interpret"))
+@partial(jax.jit, static_argnames=("mesh", "rev", "kmer_size",
+                                   "compute_dtype", "spec", "conv_impl",
+                                   "group", "block_lanes", "interpret"))
 def call_sites_pallas_dp(params, feats_t: jax.Array, bases: jax.Array,
-                         rels: jax.Array, strands: jax.Array | None = None,
+                         rels: jax.Array, rev: bool = False,
                          *, mesh, kmer_size: int = KMER_SIZE,
                          compute_dtype=jnp.float32, spec: tuple | None = None,
                          conv_impl: str = "direct", group: int = 32,
@@ -298,41 +341,27 @@ def call_sites_pallas_dp(params, feats_t: jax.Array, bases: jax.Array,
     which trips shard_map's varying-mesh-axes checker; the body is manifestly
     per-shard (no collectives), so the check adds nothing here.
 
-    bases (nb, NGT) / rels (nb, NGT, group) / strands (nb, NGT*group) or
-    None, where NGT = n_data * groups-per-device; group axes shard into
-    per-device contiguous blocks.  Returns u8 probs (nb * NGT * group,) in
-    the same slot order as the single-device path.
+    bases (nb, NGT) / rels (nb, NGT, group), where NGT = n_data *
+    groups-per-device; group axes shard into per-device contiguous blocks.
+    `rev` statically selects the reverse-strand program, exactly as in the
+    single-device path.  Returns u8 probs (nb * NGT * group,) in the same
+    slot order as the single-device path.
     """
     from jax.sharding import PartitionSpec as P
 
-    statics = dict(kmer_size=kmer_size, compute_dtype=compute_dtype,
+    statics = dict(rev=rev, kmer_size=kmer_size, compute_dtype=compute_dtype,
                    spec=spec, conv_impl=conv_impl, group=group,
                    block_lanes=block_lanes, interpret=interpret)
-    nb = bases.shape[0]
 
-    if strands is None:
-        def local(p, ft, b, r):
-            return call_sites_pallas(p, ft, b, r, None,
-                                     **statics).reshape(b.shape[0], -1)
+    def local(p, ft, b, r):
+        return call_sites_pallas(p, ft, b, r,
+                                 **statics).reshape(b.shape[0], -1)
 
-        fn = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P(), P(None, "data"), P(None, "data", None)),
-            out_specs=P(None, "data"), check_vma=False)
-        out = fn(params, feats_t, bases, rels)
-    else:
-        def local(p, ft, b, r, s):
-            return call_sites_pallas(p, ft, b, r, s.reshape(-1),
-                                     **statics).reshape(b.shape[0], -1)
-
-        fn = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P(), P(None, "data"), P(None, "data", None),
-                      P(None, "data")),
-            out_specs=P(None, "data"), check_vma=False)
-        out = fn(params, feats_t, bases, rels,
-                 strands.reshape(nb, -1))
-    return out.reshape(-1)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(None, "data"), P(None, "data", None)),
+        out_specs=P(None, "data"), check_vma=False)
+    return fn(params, feats_t, bases, rels).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("kmer_size", "compute_dtype", "spec",

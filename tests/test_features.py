@@ -149,3 +149,17 @@ def test_device_features_match_host():
                          jnp.asarray(np.array(rstart, np.int32)),
                          jnp.asarray(np.array(rend, np.int32)))
     np.testing.assert_array_equal(np.asarray(got), np.stack(want))
+
+
+def test_codev1_arithmetic_decode_matches_table():
+    """The TPU featurize path decodes codeV1 arithmetically
+    (windows._codev1_norm).  The piecewise-linear integer form must equal
+    the decode table exactly (bam_info.cpp:562-570), leaving the final
+    divide's 1-ulp rounding as the only possible device deviation from the
+    host table (absorbed by the +/-1-u8 scaled-prob contract)."""
+    from hifimeth_tpu.constants import CODEV1_TO_FRAME
+    c = np.arange(256, dtype=np.float64)
+    v = np.where(c < 64, c,
+                 np.where(c < 128, 2 * c - 64,
+                          np.where(c < 192, 4 * c - 320, 8 * c - 1088)))
+    np.testing.assert_array_equal(v, CODEV1_TO_FRAME)
