@@ -41,6 +41,45 @@ def make_synthetic_bam(path, n_reads, read_len, seed=0):
     return path
 
 
+def make_mapped_mod_bam(fasta_path, bam_path, n_reads, read_len, genome_len,
+                        seed=1):
+    """Synthesize the pileup benchmark input: a coordinate-sorted mod-BAM of
+    perfect-match alignments over a random genome, with mod calls on every
+    native-forward C (fwd series) and G (rev series) - call density matching
+    a real all-context mod-BAM (~0.5 calls/bp)."""
+    import numpy as np
+    from hifimeth_tpu.features.read_decode import native_fwd_seq
+    from hifimeth_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    from hifimeth_tpu.io.mmtags import build_mod_tags
+
+    rng = np.random.default_rng(seed)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), genome_len)
+    with open(fasta_path, "w") as f:
+        f.write(">chr1 synthetic\n")
+        g = genome.tobytes().decode()
+        for i in range(0, genome_len, 70):
+            f.write(g[i:i + 70] + "\n")
+
+    poss = np.sort(rng.integers(0, genome_len - read_len, n_reads))
+    hdr = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("chr1", genome_len)])
+    with BamWriter(bam_path, hdr, threads=8, level=1) as w:
+        for i, pos in enumerate(poss):
+            flag = 16 if i % 3 == 0 else 0
+            rec = BamRecord(qname=f"read{i}", flag=flag, refid=0,
+                            pos=int(pos), mapq=60)
+            rec.set_seq(genome[pos:pos + read_len].tobytes())
+            rec.set_cigar_str(f"{read_len}M")
+            fwd = native_fwd_seq(rec)
+            fq = np.flatnonzero(fwd == ord("C"))
+            rq = np.flatnonzero(fwd == ord("G"))
+            build_mod_tags(rec, fwd, fq,
+                           rng.integers(0, 256, len(fq)).astype(np.uint8),
+                           rq,
+                           rng.integers(0, 256, len(rq)).astype(np.uint8))
+            w.write(rec)
+    return n_reads * read_len
+
+
 def count_sites(bam_path):
     import numpy as np
     from hifimeth_tpu.features import sites as sitefind
@@ -56,6 +95,58 @@ def count_sites(bam_path):
     return total
 
 
+def run_selfcheck(site_batch=16384):
+    """On-hardware parity gates, run on whatever backend is live (the TPU
+    during driver benches).  The reference's analog is its pervasive
+    hbn_assert self-checks in the hot path (bam_info.cpp:399-416).
+
+    1. pallas-f32 vs slice-f32: the production group-fetch path must agree
+       with the independent dynamic-slice gather within the ±1-u8 f32
+       reassociation bound (identical MM strings).
+    2. pallas-bf16 vs pallas-f32: quantifies the documented bf16 fast mode
+       (identical MM strings; scaled-prob deltas bounded in distribution).
+    """
+    import tempfile
+
+    import numpy as np
+    from hifimeth_tpu.engine.call import CallConfig, run_call
+    from hifimeth_tpu.io.bam import BamReader
+
+    res = {}
+    with tempfile.TemporaryDirectory() as td:
+        bam = os.path.join(td, "in.bam")
+        make_synthetic_bam(bam, 20, 5000, seed=7)
+
+        def run(tag, **kw):
+            out = os.path.join(td, f"{tag}.bam")
+            run_call(bam, out, CallConfig(site_batch=site_batch, **kw))
+            mms, mls = [], []
+            for r in BamReader(out):
+                mms.append(r.get_tag("MM")[1])
+                mls.append(np.asarray(r.get_tag("ML")[1][1], int))
+            return mms, np.concatenate(mls)
+
+        mm_p, ml_p = run("pallas_f32", gather_impl="pallas")
+        mm_s, ml_s = run("slice_f32", gather_impl="slice")
+        assert mm_p == mm_s, "selfcheck: pallas/slice MM strings differ"
+        d = np.abs(ml_p - ml_s)
+        res["pallas_vs_slice_f32_max"] = int(d.max())
+        res["pallas_vs_slice_f32_frac_off"] = round(float((d > 0).mean()), 5)
+        assert d.max() <= 1, f"selfcheck: pallas vs slice f32 max {d.max()}"
+
+        mm_b, ml_b = run("pallas_bf16", gather_impl="pallas",
+                         compute_dtype="bfloat16")
+        assert mm_b == mm_p, "selfcheck: bf16 MM strings differ"
+        db = np.abs(ml_b - ml_p)
+        res["bf16_vs_f32_max"] = int(db.max())
+        res["bf16_vs_f32_mean"] = round(float(db.mean()), 3)
+        res["bf16_vs_f32_frac_gt3"] = round(float((db > 3).mean()), 5)
+        assert db.max() <= 24 and db.mean() <= 2.0, (
+            f"selfcheck: bf16 drift max {db.max()} mean {db.mean():.2f}")
+    print(f"[bench] selfcheck OK: {res}", file=sys.stderr)
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200)
@@ -67,8 +158,19 @@ def main():
     ap.add_argument("--gather-impl", default="auto",
                     choices=["auto", "slice", "folded", "pallas"])
     ap.add_argument("--feat-channels", type=int, default=8)
+    ap.add_argument("--pileup-reads", type=int, default=150)
+    ap.add_argument("--skip-pileup", action="store_true")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="run only the on-hardware parity gates (strict)")
+    ap.add_argument("--skip-selfcheck", action="store_true")
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"
+
+    if args.selfcheck:
+        res = run_selfcheck(args.site_batch)
+        print(json.dumps({"metric": "selfcheck_ok", "value": 1,
+                          "unit": "bool", "vs_baseline": 1, **res}))
+        return
 
     import tempfile
     from hifimeth_tpu.engine.call import CallConfig, run_call
@@ -95,6 +197,48 @@ def main():
             stats = run_call(bam, out_bam, cfg)
             dt = min(dt, time.time() - t0)
 
+    # -- pileup leg (reference speed protocol measures pileup wall too,
+    # README.md:121-126) -----------------------------------------------------
+    pileup = {}
+    if not args.skip_pileup:
+        from hifimeth_tpu.quant.pileup import run_pileup_parallel
+        from hifimeth_tpu.utils.system import physical_core_count
+
+        with tempfile.TemporaryDirectory() as td:
+            fasta = os.path.join(td, "ref.fa")
+            mbam = os.path.join(td, "mod.bam")
+            print(f"[bench] generating pileup input "
+                  f"({args.pileup_reads} x {args.read_len} bp mapped "
+                  f"mod reads)...", file=sys.stderr)
+            pbases = make_mapped_mod_bam(fasta, mbam, args.pileup_reads,
+                                         args.read_len, genome_len=1 << 20)
+            workers = min(physical_core_count(), 16)
+            pdt = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run_pileup_parallel(fasta, mbam, os.path.join(td, "p"),
+                                    workers=workers, spill_dir=td)
+                pdt = min(pdt, time.time() - t0)
+        pileup = {
+            "pileup_reads_per_sec": round(args.pileup_reads / pdt),
+            "pileup_mbases_per_sec": round(pbases / pdt / 1e6, 1),
+            "pileup_wall_s": round(pdt, 2),
+            "pileup_workers": workers,
+        }
+        print(f"[bench] pileup: {args.pileup_reads} reads "
+              f"({pbases / 1e6:.1f} Mb) in {pdt:.2f} s "
+              f"({workers} workers)", file=sys.stderr)
+
+    # -- parity gates on the live hardware (never fail the bench run; a
+    # failure string in the JSON is driver-visible either way) --------------
+    sc = {}
+    if not args.skip_selfcheck:
+        try:
+            sc = {"selfcheck": "ok", **run_selfcheck(args.site_batch)}
+        except Exception as e:  # noqa: BLE001
+            sc = {"selfcheck": f"FAILED: {e}"}
+            print(f"[bench] SELFCHECK FAILED: {e}", file=sys.stderr)
+
     rate = n_sites / dt
     bases = args.reads * args.read_len
     print(f"[bench] e2e: {n_sites:,} sites, {bases / dt / 1e6:.1f} Mbases/s, "
@@ -104,6 +248,8 @@ def main():
         "value": round(rate),
         "unit": "sites/s",
         "vs_baseline": round(rate / BASELINE_SITES_PER_SEC, 3),
+        **pileup,
+        **sc,
     }))
 
 

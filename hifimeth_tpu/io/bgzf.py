@@ -70,14 +70,28 @@ class BgzfWriter(io.RawIOBase):
             while len(self._buf) >= self._native_chunk:
                 chunk = bytes(self._buf[:self._native_chunk])
                 del self._buf[:self._native_chunk]
-                self._fh.write(self._native.bgzf_compress_buffer(
-                    chunk, self._level, self._threads))
+                self._submit_native(chunk)
             return len(data)
         while len(self._buf) >= MAX_BLOCK_UNCOMPRESSED:
             chunk = bytes(self._buf[:MAX_BLOCK_UNCOMPRESSED])
             del self._buf[:MAX_BLOCK_UNCOMPRESSED]
             self._submit(chunk)
         return len(data)
+
+    def _submit_native(self, chunk: bytes) -> None:
+        """Run the (GIL-releasing, internally threaded) native compress off
+        the caller thread so writes never stall the pipeline; ordered FIFO
+        drain preserves the output stream.  Chunks are large, so at most one
+        compress is kept in flight beyond the current one."""
+        if self._pool is None:
+            self._fh.write(self._native.bgzf_compress_buffer(
+                chunk, self._level, self._threads))
+            return
+        self._pending.append(self._pool.submit(
+            self._native.bgzf_compress_buffer, chunk, self._level,
+            self._threads))
+        if len(self._pending) >= 2:
+            self._drain(1)
 
     def _submit(self, chunk: bytes) -> None:
         if self._pool is None:
@@ -96,8 +110,7 @@ class BgzfWriter(io.RawIOBase):
             chunk = bytes(self._buf)
             self._buf.clear()
             if self._native is not None:
-                self._fh.write(self._native.bgzf_compress_buffer(
-                    chunk, self._level, self._threads))
+                self._submit_native(chunk)
             else:
                 self._submit(chunk)
 

@@ -18,8 +18,8 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "libbamcore.so")
+    path = os.environ.get("HIFIMETH_BAMCORE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "libbamcore.so")
     if not os.path.exists(path):
         _LIB = False
         return _LIB

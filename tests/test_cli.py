@@ -99,3 +99,25 @@ def test_cli_read_level_eval(tmp_path, capsys):
 
 def test_cli_bad_command(capsys):
     assert main(["frobnicate"]) == 1
+
+
+def test_launcher_pileup_spawn_workers(tmp_path):
+    """The launcher's __main__ guard is load-bearing: multiprocessing spawn
+    workers re-import the launcher as __mp_main__, and an unguarded launcher
+    re-runs the subcommand in every worker (observed as a fork-bomb hang of
+    `hifimeth-tpu pileup` at default threads)."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(2)
+    fasta, bam, chroms, recs = make_mapped_mod_bam(tmp_path, rng, n_reads=12)
+    launcher = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hifimeth-tpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, launcher, "pileup", "-t", "2", str(fasta),
+         str(bam), str(tmp_path / "q")],
+        env=env, timeout=240, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert os.path.exists(str(tmp_path / "q") + ".CpG.cov.bed")

@@ -81,6 +81,43 @@ def test_golden_call_tags(tmp_path, golden_exists):
     assert n_off <= 0.05 * n_tot, f"{n_off}/{n_tot} ML bytes drifted"
 
 
+def test_golden_call_tags_pallas(tmp_path, golden_exists):
+    """The production pallas path (interpret-mode kernel on the CPU backend)
+    must reproduce the SAME golden call tags: a regression confined to the
+    group-fetch gather/dispatch/unsort logic fails here directly instead of
+    only through the indirect pallas-vs-slice equality tests."""
+    from hifimeth_tpu.engine.call import CallConfig, run_call
+    from hifimeth_tpu.io.bam import BamReader
+
+    cfg = CallConfig(gather_impl="pallas", compute_dtype="float32",
+                     site_batch=512)
+    out = tmp_path / "out.bam"
+    run_call(_p("golden_call_in.bam"), str(out), cfg)
+    got = list(BamReader(str(out)))
+
+    with open(_p("golden_call_tags.json")) as f:
+        want = json.load(f)
+    assert len(got) == len(want)
+    n_off = n_tot = 0
+    for rec, w in zip(got, want):
+        assert rec.qname == w["qname"]
+        mm = rec.get_tag("MM")
+        mn = rec.get_tag("MN")
+        ml = rec.get_tag("ML")
+        assert (mm[1] if mm else None) == w["MM"], rec.qname
+        assert (mn[1] if mn else None) == w["MN"], rec.qname
+        got_ml = ml[1][1].tolist() if ml else None
+        assert (got_ml is None) == (w["ML"] is None), rec.qname
+        if got_ml is not None:
+            a = np.asarray(got_ml, int)
+            b = np.asarray(w["ML"], int)
+            assert len(a) == len(b), rec.qname
+            assert np.abs(a - b).max() <= 1, rec.qname
+            n_off += int((a != b).sum())
+            n_tot += len(a)
+    assert n_off <= 0.05 * n_tot, f"{n_off}/{n_tot} ML bytes drifted"
+
+
 def test_golden_pileup_beds(tmp_path, golden_exists):
     from hifimeth_tpu.quant.pileup import run_pileup
 
