@@ -53,7 +53,12 @@ class CallConfig:
     contexts: tuple[str, ...] = CONTEXTS
     min_read_size: int = 1000            # reference default (mod_options.cpp:10)
     site_batch: int = 8192
-    buffer_bases: int = 1 << 22
+    buffer_bases: int = 1 << 21          # flush granularity: 2 Mi bases
+                                         # (~800k sites) keeps device batches
+                                         # huge while flush N's compute
+                                         # overlaps flush N+1's host
+                                         # decode/site-scan (flush() is
+                                         # dispatch-async, emit-previous)
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
@@ -187,6 +192,9 @@ class CallEngine:
         main = {k: v for k, v in self.timers.items() if not k.startswith("d_")}
         total = sum(main.values())
         parts = ", ".join(f"{k}={v:.2f}s" for k, v in main.items())
+        # d_h2d = plane-segment ship + featurize enqueue; d_plan = host group
+        # planning; d_enqueue = chunk dispatch incl. H2D of the small plan
+        # arrays (ADVICE r1: labeled so the attribution is explicit)
         sub = ", ".join(f"{k}={self.timers[k]:.2f}s" for k in
                         ("d_h2d", "d_plan", "d_enqueue"))
         print(f"[engine timers] {parts} (sum {total:.2f}s) [{sub}]",
@@ -540,6 +548,10 @@ class CallEngine:
             # NEXT flush lands (or at finalize)
             futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
                        for ctx in self.cfg.contexts}
+            # NOTE: do NOT request result copies here to "kick" the remote
+            # queue - copy_to_host_async on still-queued results hangs the
+            # axon tunnel (observed: a warm bench stalling >20 min).  The
+            # copies are batched at _emit time instead.
         current = (self._pending, futures)
         self.timers["device_dispatch"] += time.perf_counter() - t0
 

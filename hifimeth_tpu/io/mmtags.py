@@ -15,9 +15,12 @@ native-forward offsets.
 """
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
+
+_DELTA_BODY_RE = re.compile(r"\d+(?:,\d+)*")
 
 from .bam import BamRecord, choose_int_type
 from ..constants import FWD, REV
@@ -232,13 +235,13 @@ def _parse_one_series(qname: str, s: str):
                 f"read {qname}: inconsistent unmod base {unmod_base!r} and "
                 f"modification code {c!r} in {s!r}")
 
-    deltas = []
     body = s[i:-1]
     if body.startswith(",") or body.startswith(";"):
         body = body[1:]
-    if body:
-        for tok in body.split(","):
-            if not tok or not tok.isdigit():
-                raise ModTagError(f"read {qname}: illegal character in {s!r}")
-            deltas.append(int(tok))
-    return unmod_base, strand, codes, deltas
+    if not body:
+        return unmod_base, strand, codes, np.empty(0, np.int64)
+    # one C-level regex validation + one vectorized parse instead of a
+    # per-token isdigit/int loop (the MM parser dominated pileup pass 1)
+    if not _DELTA_BODY_RE.fullmatch(body):
+        raise ModTagError(f"read {qname}: illegal character in {s!r}")
+    return unmod_base, strand, codes, np.array(body.split(","), np.int64)
