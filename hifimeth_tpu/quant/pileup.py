@@ -406,8 +406,12 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
     jobs = [(reference_path, mod_bam_path, cfg,
              ShardSpec(i, workers, batch_size=100), spill_dir)
             for i in range(workers)]
+    from ..utils.system import worker_spawn_env
+
     ctx = mp.get_context("spawn")
-    with ctx.Pool(workers) as pool:
+    with worker_spawn_env():
+        pool = ctx.Pool(workers)
+    with pool:
         results = pool.map(_pass1_worker, jobs)
     bins = np.zeros((3, 256), np.int64)
     spill_paths = []

@@ -200,8 +200,12 @@ def run_eval(reference_path: str, bismark_bed_path: str, mod_bam_path: str,
 
     if workers > 1:
         import multiprocessing as mp
+
+        from ..utils.system import worker_spawn_env
         ctx = mp.get_context("spawn")
-        with ctx.Pool(workers) as pool:
+        with worker_spawn_env():
+            pool = ctx.Pool(workers)
+        with pool:
             bin_parts = pool.map(_eval_worker, [
                 ("bins", (mod_bam_path, ShardSpec(i, workers, 100)))
                 for i in range(workers)])

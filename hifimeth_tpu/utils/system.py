@@ -47,3 +47,26 @@ def dump_parameters(title: str, params: dict) -> None:
     for k, v in params.items():
         print(f"  {k}: {v}", file=sys.stderr)
     print("", file=sys.stderr, flush=True)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def worker_spawn_env():
+    """Scrub the environment for spawning numpy-only worker processes.
+
+    This machine's sitecustomize registers the axon TPU plugin (a ~1.7 s
+    jax import) in EVERY new interpreter whenever PALLAS_AXON_POOL_IPS is
+    set; worker pools that never touch a device (pileup/eval pass workers)
+    shouldn't pay that startup cost per worker - and extra processes
+    attaching to the shared TPU tunnel can wedge it.  Spawned children
+    snapshot os.environ at exec, so dropping the trigger variable around
+    Pool construction is sufficient and the parent's env is restored
+    afterwards."""
+    saved = {k: os.environ.pop(k) for k in ("PALLAS_AXON_POOL_IPS",)
+             if k in os.environ}
+    try:
+        yield
+    finally:
+        os.environ.update(saved)
