@@ -152,7 +152,9 @@ def main():
     ap.add_argument("--reads", type=int, default=200)
     ap.add_argument("--read-len", type=int, default=15000)
     ap.add_argument("--dtype", default="f32", choices=["bf16", "f32"])
-    ap.add_argument("--site-batch", type=int, default=16384)
+    ap.add_argument("--site-batch", type=int, default=8192)
+    ap.add_argument("--flush-bases", type=int, default=0,
+                    help="override CallConfig.flush_bases (0 = default)")
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
     ap.add_argument("--gather-impl", default="auto",
@@ -187,6 +189,8 @@ def main():
                          conv_impl=args.conv_impl,
                          gather_impl=args.gather_impl,
                          feat_channels=args.feat_channels)
+        if args.flush_bases:
+            cfg.flush_bases = args.flush_bases
         # warm-up run compiles everything (persistent-cache assisted)
         run_call(bam, out_bam, cfg)
         # best of 2 timed runs: device round-trip latency through shared TPU

@@ -79,6 +79,8 @@ def _parse_call(argv):
             i += 2
         elif a == "--buffer-bases":
             cfg.buffer_bases = int(argv[i + 1]); i += 2
+        elif a == "--flush-bases":
+            cfg.flush_bases = int(argv[i + 1]); i += 2
         elif a == "--data-parallel":
             cfg.data_parallel = True; i += 1
         elif a == "--feat-channels":
@@ -90,6 +92,8 @@ def _parse_call(argv):
                     f"Illegal argument to option '--gather-impl': "
                     f"{cfg.gather_impl} "
                     f"(expected auto|slice|folded|pallas)")
+        elif a == "--sync-emit":
+            cfg.async_emit = False; i += 1
         elif a == "--stats-json":
             cfg.stats_json = argv[i + 1]; i += 2
         elif a == "--shard":

@@ -53,12 +53,21 @@ class CallConfig:
     contexts: tuple[str, ...] = CONTEXTS
     min_read_size: int = 1000            # reference default (mod_options.cpp:10)
     site_batch: int = 8192
-    buffer_bases: int = 1 << 21          # flush granularity: 2 Mi bases
-                                         # (~800k sites) keeps device batches
-                                         # huge while flush N's compute
-                                         # overlaps flush N+1's host
-                                         # decode/site-scan (flush() is
-                                         # dispatch-async, emit-previous)
+    buffer_bases: int = 1 << 21          # packed-buffer CAPACITY (static jit
+                                         # shape: featurize/table programs
+                                         # compile once per cap)
+    flush_bases: int = 1 << 18           # flush GRANULARITY: dispatch once
+                                         # this many bases are packed
+                                         # (0 = buffer_bases).  Smaller
+                                         # flushes pipeline host decode /
+                                         # device compute / async emit at
+                                         # finer grain WITHOUT changing any
+                                         # compiled shape - the buffer stays
+                                         # cap-sized and only filled segments
+                                         # ship (featurize_planes_t_seg zero-
+                                         # fills the tail).  256 Ki measured
+                                         # best on the v5e tunnel (~15% over
+                                         # cap-sized flushes)
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
@@ -74,6 +83,13 @@ class CallConfig:
     io_threads: int = 8                  # BGZF codec pool; the reference
                                          # fixes its htslib IO pool at 8
                                          # threads (sam_batch.hpp:19)
+    async_emit: bool = True              # resolve/emit flush N in a worker
+                                         # thread while the main thread
+                                         # decodes/packs N+1 (needs a record
+                                         # sink, see CallEngine.sink); the
+                                         # reference analog is its dedicated
+                                         # htslib writer pool + per-batch
+                                         # join (mod_main.cpp:316-362)
 
     def resolve_model_dir(self) -> str:
         return self.model_dir or default_model_dir()
@@ -179,6 +195,17 @@ class CallEngine:
             log("data-parallel call over %d local devices",
                 self.mesh.shape["data"])
         self._reset_buffer()
+        #: async-emit machinery: when `sink` is set (run_call points it at
+        #: the BAM writer) and cfg.async_emit, finished flushes are resolved
+        #: (D2H wait + MM/ML build + write) on a single worker thread, fully
+        #: overlapping device_wait+mmbuild with the next flush's host
+        #: decode/site-scan/pack.  Record order is preserved: one FIFO
+        #: queue, one worker, records sunk in flush order.  Without a sink
+        #: (library/list API) emit stays synchronous.
+        self.sink = None
+        self._emit_q = None
+        self._emit_thread = None
+        self._emit_exc = None
         self.stats = {ctx: 0 for ctx in cfg.contexts}
         self.stats.update(reads=0, bases=0, called_reads=0)
         self.timers = {"decode": 0.0, "sites": 0.0, "pack": 0.0,
@@ -190,6 +217,8 @@ class CallEngine:
     def log_timers(self):
         import sys
         main = {k: v for k, v in self.timers.items() if not k.startswith("d_")}
+        # with async emit, device_wait+mmbuild run on the worker thread and
+        # overlap decode/sites/pack - the sum can exceed wall-clock
         total = sum(main.values())
         parts = ", ".join(f"{k}={v:.2f}s" for k, v in main.items())
         # d_h2d = plane-segment ship + featurize enqueue; d_plan = host group
@@ -229,19 +258,6 @@ class CallEngine:
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
                        for ctx in self.cfg.contexts}
 
-    def _find_sites(self, ctx: str, seq: np.ndarray):
-        if ctx == "CpG":
-            offs = sitefind.cpg_sites(seq)
-            strands = np.zeros(len(offs), np.uint8)
-        elif ctx == "CHG":
-            offs = sitefind.chg_sites(seq)
-            strands = np.zeros(len(offs), np.uint8)
-        elif ctx == "CHH":
-            offs, strands = sitefind.chh_sites(seq)
-        else:
-            raise ValueError(f"unknown context {ctx}")
-        return offs, strands
-
     def add_read(self, rec: BamRecord, out: list):
         """Queue one record; `out` receives (rec, results-ready) in order."""
         self.stats["reads"] += 1
@@ -259,7 +275,9 @@ class CallEngine:
             raise ValueError(
                 f"read {rec.qname} ({read.size} bp) exceeds buffer capacity "
                 f"{self.cfg.buffer_bases}; raise --buffer-bases")
-        if self._fill + read.size > self.cfg.buffer_bases - self._margin:
+        flush_limit = min(self.cfg.flush_bases or self.cfg.buffer_bases,
+                          self.cfg.buffer_bases - self._margin)
+        if self._fill > self._margin and self._fill + read.size > flush_limit:
             self.flush(out)
         t0 = time.perf_counter()
         start = self._fill
@@ -278,8 +296,10 @@ class CallEngine:
 
         t0 = time.perf_counter()
         pend = _PendingRead(rec, fwd_seq=read.seq)
+        # one pass over the read for all contexts (native scanner when built)
+        found = sitefind.scan_all(read.seq)
         for ctx in self.cfg.contexts:
-            offs, strands = self._find_sites(ctx, read.seq)
+            offs, strands = found[ctx]
             s = self._sites[ctx]
             lo = sum(len(c) for c in s["centers"])
             s["centers"].append(offs.astype(np.int32) + start)
@@ -559,7 +579,50 @@ class CallEngine:
         self._inflight = current
         self._reset_buffer()
         if prev is not None:
-            self._emit(prev, out)
+            self._hand_off(prev, out)
+
+    # -- async emit ----------------------------------------------------------
+    def _emit_async_active(self) -> bool:
+        return self.cfg.async_emit and self.sink is not None
+
+    def _check_emit_exc(self):
+        if self._emit_exc is not None:
+            exc, self._emit_exc = self._emit_exc, None
+            raise exc
+
+    def _hand_off(self, inflight, out: list):
+        """Route one finished flush to the emit worker (async) or resolve it
+        inline (sync list API)."""
+        if not self._emit_async_active():
+            self._emit(inflight, out)
+            return
+        if self._emit_thread is None:
+            import queue
+            import threading
+            # maxsize bounds live flushes to 3 (packing + queued + emitting);
+            # put() backpressure replaces the old synchronous emit stall
+            self._emit_q = queue.Queue(maxsize=2)
+            self._emit_thread = threading.Thread(
+                target=self._emit_worker, name="hifimeth-emit", daemon=True)
+            self._emit_thread.start()
+        self._check_emit_exc()
+        self._emit_q.put(inflight)
+
+    def _emit_worker(self):
+        while True:
+            item = self._emit_q.get()
+            try:
+                if item is None:
+                    return
+                if self._emit_exc is None:
+                    local: list = []
+                    self._emit(item, local)
+                    for rec in local:
+                        self.sink(rec)
+            except BaseException as e:  # noqa: BLE001 - re-raised on main
+                self._emit_exc = e
+            finally:
+                self._emit_q.task_done()
 
     def finalize(self, out: list):
         """Flush any packed reads and drain both in-flight flushes."""
@@ -567,7 +630,12 @@ class CallEngine:
         prev = self._inflight
         self._inflight = None
         if prev is not None:
-            self._emit(prev, out)
+            self._hand_off(prev, out)
+        if self._emit_thread is not None:
+            self._emit_q.put(None)
+            self._emit_thread.join()
+            self._emit_thread = None
+            self._check_emit_exc()
 
     @staticmethod
     def _future_parts(f):
@@ -672,6 +740,9 @@ def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
     out_path = shard_path(out_bam, shard)
     writer = BamWriter(out_path, header, threads=cfg.io_threads)
     engine = CallEngine(cfg)
+    # async emit: the engine's worker thread resolves device results, builds
+    # MM/ML tags and writes records while this thread decodes the next flush
+    engine.sink = writer.write
 
     done: list[BamRecord] = []
     batch_idx = 0

@@ -66,6 +66,30 @@ def chh_sites(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return offs, strands
 
 
+def scan_all(seq: np.ndarray):
+    """All three context scans in one pass: returns
+    {"CpG": (offs, strands), "CHG": (offs, strands), "CHH": (offs, strands)}.
+
+    Uses the native single-pass scanner (bamcore hm_scan_sites) when built -
+    ~10x the three vectorized numpy scans, which re-read the sequence and
+    materialize boolean temporaries per context - with a bit-identical numpy
+    fallback."""
+    from ..io import native
+    r = native.scan_sites(seq)
+    if r is not None:
+        cpg, chg, chh, chs = r
+        z = np.zeros
+        return {"CpG": (cpg.astype(np.int64), z(len(cpg), np.uint8)),
+                "CHG": (chg.astype(np.int64), z(len(chg), np.uint8)),
+                "CHH": (chh.astype(np.int64), chs)}
+    cpg = cpg_sites(seq)
+    chg = chg_sites(seq)
+    chh, chs = chh_sites(seq)
+    return {"CpG": (cpg, np.zeros(len(cpg), np.uint8)),
+            "CHG": (chg, np.zeros(len(chg), np.uint8)),
+            "CHH": (chh, chs)}
+
+
 def site_strands_for_c_or_g(seq: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """Strand by modified-base identity ('C'->FWD, 'G'->REV;
     eval_kmer_features.cpp:25-35)."""

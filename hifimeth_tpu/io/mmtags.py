@@ -86,13 +86,20 @@ def build_mod_tags(rec: BamRecord, fwd_seq: np.ndarray,
     if len(fwd_qoffs) == 0 and len(rev_qoffs) == 0:
         return
 
-    cum_c = np.zeros(len(fwd_seq) + 1, dtype=np.int64)
-    np.cumsum(fwd_seq == ord("C"), out=cum_c[1:])
-    cum_g = np.zeros(len(fwd_seq) + 1, dtype=np.int64)
-    np.cumsum(fwd_seq == ord("G"), out=cum_g[1:])
-
-    mm = ("C+m" + _delta_string(np.asarray(fwd_qoffs, np.int64), cum_c) + ";" +
-          "G-m" + _delta_string(np.asarray(rev_qoffs, np.int64), cum_g) + ";")
+    from . import native
+    if native.available() and getattr(native._load(), "hm_mm_deltas", None):
+        # native single-pass delta builder (~10x the cumsum + printf path)
+        fwd_d = native.mm_deltas(fwd_seq, ord("C"), fwd_qoffs).decode()
+        rev_d = native.mm_deltas(fwd_seq, ord("G"), rev_qoffs).decode()
+        mm = "C+m" + fwd_d + ";G-m" + rev_d + ";"
+    else:
+        cum_c = np.zeros(len(fwd_seq) + 1, dtype=np.int64)
+        np.cumsum(fwd_seq == ord("C"), out=cum_c[1:])
+        cum_g = np.zeros(len(fwd_seq) + 1, dtype=np.int64)
+        np.cumsum(fwd_seq == ord("G"), out=cum_g[1:])
+        mm = ("C+m" + _delta_string(np.asarray(fwd_qoffs, np.int64), cum_c) + ";"
+              + "G-m" + _delta_string(np.asarray(rev_qoffs, np.int64), cum_g)
+              + ";")
     ml = np.concatenate([
         np.asarray(fwd_probs, np.uint8), np.asarray(rev_probs, np.uint8)
     ])

@@ -46,6 +46,16 @@ def _load():
     lib.hm_revcomp.argtypes = [u8p, c_i64, u8p]
     lib.hm_encode_codev1.restype = None
     lib.hm_encode_codev1.argtypes = [u16p, c_i64, u8p]
+    try:
+        lib.hm_scan_sites.restype = None
+        lib.hm_scan_sites.argtypes = [u8p, c_i64, i32p, i64p, i32p, i64p,
+                                      i32p, u8p, i64p]
+        lib.hm_mm_deltas.restype = c_i64
+        lib.hm_mm_deltas.argtypes = [u8p, c_i64, ctypes.c_uint8, i32p, c_i64,
+                                     ctypes.c_char_p, c_i64]
+    except AttributeError:  # stale .so from before these entry points
+        lib.hm_scan_sites = None
+        lib.hm_mm_deltas = None
     _LIB = lib
     return _LIB
 
@@ -140,6 +150,49 @@ def revcomp(seq: np.ndarray):
     out = np.empty(len(seq), np.uint8)
     lib.hm_revcomp(_u8p(seq), len(seq), _u8p(out))
     return out
+
+
+def scan_sites(seq: np.ndarray):
+    """Single-pass CpG/CHG/CHH candidate scan (native-forward ASCII seq).
+
+    Returns (cpg_offs, chg_offs, chh_offs, chh_strands) as int32/uint8
+    arrays, or None if the native library is unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_scan_sites", None) is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    n = len(seq)
+    cpg = np.empty(n or 1, np.int32)
+    chg = np.empty(n or 1, np.int32)
+    chh = np.empty(n or 1, np.int32)
+    chs = np.empty(n or 1, np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    nc, ng, nh = (ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64())
+    lib.hm_scan_sites(_u8p(seq), n,
+                      cpg.ctypes.data_as(i32), ctypes.byref(nc),
+                      chg.ctypes.data_as(i32), ctypes.byref(ng),
+                      chh.ctypes.data_as(i32),
+                      _u8p(chs), ctypes.byref(nh))
+    return (cpg[:nc.value], chg[:ng.value], chh[:nh.value],
+            chs[:nh.value])
+
+
+def mm_deltas(seq: np.ndarray, base: int, qoffs: np.ndarray):
+    """MM skip-delta string bytes (",d0,d1,...") for ascending qoffs sitting
+    on `base` chars; None if the native library is unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_mm_deltas", None) is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qoffs = np.ascontiguousarray(qoffs, np.int32)
+    cap = 13 * len(qoffs) + 16
+    out = ctypes.create_string_buffer(cap)
+    w = lib.hm_mm_deltas(_u8p(seq), len(seq), base,
+                         qoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                         len(qoffs), out, cap)
+    if w < 0:
+        raise ValueError("mm_deltas: call offset not on the series base")
+    return out.raw[:w]
 
 
 def encode_codev1(frames: np.ndarray):

@@ -204,6 +204,77 @@ void hm_revcomp(const uint8_t* seq, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) out[i] = comp[seq[len - 1 - i]];
 }
 
+// Single-pass candidate-site scan over a native-forward ASCII read.
+// Replicates features/sites.py (itself replicating the reference's scans,
+// eval_kmer_features.cpp:67-126, with their asymmetries): CpG and CHG are
+// forward-strand only; CHH emits forward C[ACT][ACT] hits at i (strand 0)
+// and reverse [AGT][AGT]G hits at the G position i+2 (strand 1), in
+// position-sorted order.  Output buffers must hold `len` entries each;
+// counts are written to *n_cpg / *n_chg / *n_chh.
+void hm_scan_sites(const uint8_t* seq, int64_t len,
+                   int32_t* cpg, int64_t* n_cpg,
+                   int32_t* chg, int64_t* n_chg,
+                   int32_t* chh, uint8_t* chh_strand, int64_t* n_chh) {
+    static uint8_t isH[256], isD[256];  // H = A/C/T, D = A/G/T
+    static bool init = false;
+    if (!init) {
+        std::memset(isH, 0, 256);
+        std::memset(isD, 0, 256);
+        isH['A'] = isH['C'] = isH['T'] = 1;
+        isD['A'] = isD['G'] = isD['T'] = 1;
+        init = true;
+    }
+    int64_t nc = 0, ng = 0, nh = 0;
+    for (int64_t i = 0; i < len; ++i) {
+        uint8_t b = seq[i];
+        if (b == 'C') {
+            if (i + 1 < len && seq[i + 1] == 'G') cpg[nc++] = (int32_t)i;
+            if (i + 2 < len && isH[seq[i + 1]]) {
+                if (seq[i + 2] == 'G') chg[ng++] = (int32_t)i;
+                else if (isH[seq[i + 2]]) {
+                    chh[nh] = (int32_t)i;
+                    chh_strand[nh++] = 0;
+                }
+            }
+        } else if (b == 'G' && i >= 2 && isD[seq[i - 2]] && isD[seq[i - 1]]) {
+            chh[nh] = (int32_t)i;
+            chh_strand[nh++] = 1;
+        }
+    }
+    *n_cpg = nc;
+    *n_chg = ng;
+    *n_chh = nh;
+}
+
+// MM-tag skip-delta string for one base series (build_mod_bam.cpp:134-168):
+// each delta counts same-base positions skipped since the previous call
+// (calls sit ON base positions).  Writes ",d0,d1,..." to out; returns bytes
+// written, or -1 if `cap` would overflow.  qoffs must be ascending and sit
+// on `base` characters.
+int64_t hm_mm_deltas(const uint8_t* seq, int64_t len, uint8_t base,
+                     const int32_t* qoffs, int64_t n,
+                     char* out, int64_t cap) {
+    int64_t k = 0, w = 0;
+    int64_t skipped = 0;
+    char tmp[24];
+    for (int64_t i = 0; i < len && k < n; ++i) {
+        if (seq[i] != base) continue;
+        if (qoffs[k] == (int32_t)i) {
+            // itoa into tmp (reversed), then copy
+            int64_t v = skipped, t = 0;
+            do { tmp[t++] = (char)('0' + v % 10); v /= 10; } while (v);
+            if (w + t + 1 > cap) return -1;
+            out[w++] = ',';
+            while (t) out[w++] = tmp[--t];
+            skipped = 0;
+            ++k;
+        } else {
+            ++skipped;
+        }
+    }
+    return (k == n) ? w : -1;  // -1: some qoff did not sit on `base`
+}
+
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) {
         int32_t s = frames[i];

@@ -73,3 +73,46 @@ def test_encode_codev1_matches_python():
     frames = np.arange(0, 1500, dtype=np.uint16)
     got = native.encode_codev1(frames)
     np.testing.assert_array_equal(got, encode_frames_codev1(frames))
+
+
+def test_scan_sites_matches_numpy():
+    """Native single-pass scanner vs the vectorized numpy scans
+    (eval_kmer_features.cpp:67-126 semantics)."""
+    from hifimeth_tpu.features import sites as sf
+    rng = np.random.default_rng(4)
+    for L in (0, 1, 2, 3, 4, 50, 4096, 15001):
+        seq = rng.choice(list(b"ACGTN"), L).astype(np.uint8)
+        cpg, chg, chh, chs = native.scan_sites(seq)
+        np.testing.assert_array_equal(cpg, sf.cpg_sites(seq))
+        np.testing.assert_array_equal(chg, sf.chg_sites(seq))
+        e_offs, e_str = sf.chh_sites(seq)
+        np.testing.assert_array_equal(chh, e_offs)
+        np.testing.assert_array_equal(chs, e_str)
+
+
+def test_mm_deltas_matches_numpy():
+    """Native MM skip-delta builder vs the cumsum/printf implementation
+    (build_mod_bam.cpp:134-168 semantics)."""
+    from hifimeth_tpu.io.mmtags import _delta_string
+    rng = np.random.default_rng(5)
+    for L in (4, 100, 15001):
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8)
+        for base in b"CG":
+            pos = np.flatnonzero(seq == base)
+            if len(pos) == 0:
+                continue
+            q = np.sort(rng.choice(pos, max(1, len(pos) // 3),
+                                   replace=False)).astype(np.int64)
+            cum = np.zeros(L + 1, np.int64)
+            np.cumsum(seq == base, out=cum[1:])
+            assert native.mm_deltas(seq, base, q).decode() == \
+                _delta_string(q, cum)
+    # empty call list -> empty delta body
+    assert native.mm_deltas(np.frombuffer(b"ACGT", np.uint8), ord("C"),
+                            np.empty(0, np.int64)) == b""
+
+
+def test_mm_deltas_rejects_off_base_call():
+    seq = np.frombuffer(b"ACGT", np.uint8)
+    with pytest.raises(ValueError):
+        native.mm_deltas(seq, ord("C"), np.array([0], np.int64))  # 'A'
