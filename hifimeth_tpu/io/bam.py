@@ -243,10 +243,14 @@ class BamRecord:
 
 
 def _parse_aux(buf: memoryview, off: int) -> list[tuple[str, str, object]]:
+    # one bytes copy up front: C-speed find()/unpack_from beat per-byte
+    # memoryview indexing (the NUL scan over multi-KB MM:Z strings was the
+    # pileup pass-1 hot spot)
+    buf = bytes(buf)
     tags = []
     end = len(buf)
     while off < end:
-        tag = bytes(buf[off:off + 2]).decode()
+        tag = buf[off:off + 2].decode()
         ty = chr(buf[off + 2])
         off += 3
         if ty == "A":
@@ -257,10 +261,10 @@ def _parse_aux(buf: memoryview, off: int) -> list[tuple[str, str, object]]:
             tags.append((tag, ty, st.unpack_from(buf, off)[0]))
             off += st.size
         elif ty in "ZH":
-            e = off
-            while buf[e] != 0:
-                e += 1
-            tags.append((tag, ty, bytes(buf[off:e]).decode(errors="replace")))
+            e = buf.find(0, off)
+            if e < 0:
+                raise BamFormatError(f"unterminated {ty} tag {tag}")
+            tags.append((tag, ty, buf[off:e].decode(errors="replace")))
             off = e + 1
         elif ty == "B":
             sub = chr(buf[off])

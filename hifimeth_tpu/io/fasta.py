@@ -22,9 +22,16 @@ for _c in range(ord("a"), ord("z") + 1):
     _UPPER[_c] = _c - 32
 
 
+import re
+
+_SEQID_RE = re.compile(rb"[0-9|]")
+
+
 def _is_seq_id(line: bytes) -> bool:
-    head = line[:33]
-    return any(48 <= b <= 57 or b == 124 for b in head)
+    # C-level scan of the first 33 bytes for a digit or '|' (the reference's
+    # s_IsSeqID heuristic, hbn_seqdb.cpp:7-16); a Python any() generator
+    # here cost ~0.1 s per 1 Mb FASTA
+    return _SEQID_RE.search(line, 0, 33) is not None
 
 
 class FastaDatabase:

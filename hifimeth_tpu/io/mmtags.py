@@ -247,6 +247,13 @@ def _parse_one_series(qname: str, s: str):
         body = body[1:]
     if not body:
         return unmod_base, strand, codes, np.empty(0, np.int64)
+    from . import native
+    if native.available() and getattr(native._load(), "hm_parse_deltas", None):
+        try:  # native validate+parse in one pass
+            return (unmod_base, strand, codes,
+                    native.parse_deltas(body.encode()).astype(np.int64))
+        except ValueError:
+            raise ModTagError(f"read {qname}: illegal character in {s!r}")
     # one C-level regex validation + one vectorized parse instead of a
     # per-token isdigit/int loop (the MM parser dominated pileup pass 1)
     if not _DELTA_BODY_RE.fullmatch(body):

@@ -53,9 +53,16 @@ def _load():
         lib.hm_mm_deltas.restype = c_i64
         lib.hm_mm_deltas.argtypes = [u8p, c_i64, ctypes.c_uint8, i32p, c_i64,
                                      ctypes.c_char_p, c_i64]
+        lib.hm_parse_deltas.restype = c_i64
+        lib.hm_parse_deltas.argtypes = [u8p, c_i64, i32p]
+        lib.hm_bed_rows.restype = c_i64
+        lib.hm_bed_rows.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, c_i64,
+                                    ctypes.c_char_p, c_i64]
     except AttributeError:  # stale .so from before these entry points
         lib.hm_scan_sites = None
         lib.hm_mm_deltas = None
+        lib.hm_parse_deltas = None
+        lib.hm_bed_rows = None
     _LIB = lib
     return _LIB
 
@@ -192,6 +199,44 @@ def mm_deltas(seq: np.ndarray, base: int, qoffs: np.ndarray):
                          len(qoffs), out, cap)
     if w < 0:
         raise ValueError("mm_deltas: call offset not on the series base")
+    return out.raw[:w]
+
+
+def parse_deltas(body: bytes):
+    """Parse an MM delta body b"d0,d1,..." into an int32 array; None if the
+    native library is unavailable; raises ValueError on malformed input
+    (illegal char, empty token, overflow)."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_parse_deltas", None) is None:
+        return None
+    arr = np.frombuffer(body, np.uint8)
+    out = np.empty(len(body) // 2 + 1, np.int32)
+    n = lib.hm_parse_deltas(
+        _u8p(np.ascontiguousarray(arr)), len(arr),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        raise ValueError("illegal MM delta body")
+    return out[:n]
+
+
+def bed_rows(chr_name: str, pos: np.ndarray, pcov: np.ndarray,
+             cov: np.ndarray):
+    """Format pileup BED rows into bytes; None if unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_bed_rows", None) is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.int32)
+    pcov = np.ascontiguousarray(pcov, np.int32)
+    cov = np.ascontiguousarray(cov, np.int32)
+    name = chr_name.encode()
+    cap = (len(name) + 96) * max(len(pos), 1)
+    out = ctypes.create_string_buffer(cap)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    w = lib.hm_bed_rows(name, pos.ctypes.data_as(i32),
+                        pcov.ctypes.data_as(i32), cov.ctypes.data_as(i32),
+                        len(pos), out, cap)
+    if w < 0:
+        raise ValueError("bed_rows: buffer overflow")
     return out.raw[:w]
 
 

@@ -118,6 +118,15 @@ def write_bed_rows(out, chr_name: str, pcov, ncov, motif_map, motif: int) -> int
     written in 1M-row chunks instead of one stream write per row."""
     cov = pcov + ncov
     rows = np.flatnonzero((cov > 0) & (motif_map == motif))
+    from ..io import native
+    if native.available() and getattr(native._load(), "hm_bed_rows", None):
+        # native row formatter (C snprintf %g == Python :g), ~15x the
+        # cached-f-string loop below
+        for lo in range(0, len(rows), 1 << 20):
+            sel = rows[lo:lo + (1 << 20)]
+            out.write(native.bed_rows(chr_name, sel, pcov[sel],
+                                      cov[sel]).decode())
+        return len(rows)
     cache: dict = {}
     for lo in range(0, len(rows), 1 << 20):
         sel = rows[lo:lo + (1 << 20)]
@@ -388,6 +397,29 @@ def _pass1_worker(args):
     return bins, spill.path, n_reads
 
 
+_POOL_CACHE: dict = {}
+
+
+def _get_worker_pool(workers: int):
+    """Spawned numpy-only worker pool, cached per size: spawning + child
+    imports cost ~0.5 s, which would otherwise recur on every pileup call
+    in library use (the reference keeps its pthread pool for the process
+    lifetime too, pileup.cpp:494-504)."""
+    import atexit
+    import multiprocessing as mp
+
+    from ..utils.system import worker_spawn_env
+
+    pool = _POOL_CACHE.get(workers)
+    if pool is None:
+        ctx = mp.get_context("spawn")
+        with worker_spawn_env():
+            pool = ctx.Pool(workers)
+        _POOL_CACHE[workers] = pool
+        atexit.register(pool.terminate)
+    return pool
+
+
 def run_pileup_parallel(reference_path: str, mod_bam_path: str,
                         output_prefix: str, cfg: PileupConfig | None = None,
                         workers: int = 8, spill_dir: str | None = None) -> dict:
@@ -395,8 +427,6 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
     processes with round-robin read shards (the process analog of the
     reference's pthread pool, pileup.cpp:494-504), histograms sum in the
     parent, pass 2 multi-way-merges all spill files."""
-    import multiprocessing as mp
-
     from ..parallel.dist import ShardSpec
 
     cfg = cfg or PileupConfig()
@@ -406,13 +436,15 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
     jobs = [(reference_path, mod_bam_path, cfg,
              ShardSpec(i, workers, batch_size=100), spill_dir)
             for i in range(workers)]
-    from ..utils.system import worker_spawn_env
-
-    ctx = mp.get_context("spawn")
-    with worker_spawn_env():
-        pool = ctx.Pool(workers)
-    with pool:
+    pool = _get_worker_pool(workers)
+    try:
         results = pool.map(_pass1_worker, jobs)
+    except Exception:
+        # a dead/broken pool poisons every later call: drop it so the next
+        # call spawns a fresh one, then re-raise
+        _POOL_CACHE.pop(workers, None)
+        pool.terminate()
+        raise
     bins = np.zeros((3, 256), np.int64)
     spill_paths = []
     n_reads = 0

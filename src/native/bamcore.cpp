@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -273,6 +274,89 @@ int64_t hm_mm_deltas(const uint8_t* seq, int64_t len, uint8_t base,
         }
     }
     return (k == n) ? w : -1;  // -1: some qoff did not sit on `base`
+}
+
+// Parse an MM-tag delta body "d0,d1,..." (digits and commas only) into
+// int32 values.  Returns the number of deltas, or -1 on any illegal
+// character / empty token (bam_mod_parser.cpp:176-195 tolerant-parse
+// semantics: the caller turns -1 into a ModTagError).
+int64_t hm_parse_deltas(const uint8_t* s, int64_t len, int32_t* out) {
+    int64_t n = 0;
+    int64_t i = 0;
+    while (i < len) {
+        if (s[i] < '0' || s[i] > '9') return -1;
+        int64_t v = 0;
+        while (i < len && s[i] >= '0' && s[i] <= '9') {
+            v = v * 10 + (s[i] - '0');
+            if (v > INT32_MAX) return -1;
+            ++i;
+        }
+        out[n++] = (int32_t)v;
+        if (i < len) {
+            if (s[i] != ',') return -1;
+            ++i;
+            if (i == len) return -1;  // trailing comma
+        }
+    }
+    return n;
+}
+
+// Format pileup BED rows "chr\tpos\tpos+1\tfreq\tpcov\tncov\n" for the
+// selected positions (pileup.cpp:562-586).  freq = %g of 100*p/cov -
+// identical to both the reference's ostream<<double default precision and
+// Python's f"{x:g}".  Returns bytes written, or -1 if cap would overflow.
+static inline int64_t hm_itoa(char* out, int64_t v) {
+    char tmp[24];
+    int64_t t = 0;
+    do { tmp[t++] = (char)('0' + v % 10); v /= 10; } while (v);
+    int64_t w = 0;
+    while (t) out[w++] = tmp[--t];
+    return w;
+}
+
+int64_t hm_bed_rows(const char* chr_name,
+                    const int32_t* pos, const int32_t* pcov,
+                    const int32_t* cov, int64_t n,
+                    char* out, int64_t cap) {
+    // freq-string cache for small coverages: %g double formatting is ~90%
+    // of snprintf cost and coverage values repeat constantly.  Entry
+    // (p, c) with c <= 512 lives at p * 513 + c (p <= c).
+    static const int kCacheCov = 512;
+    struct FreqEntry { char s[16]; uint8_t len; };
+    std::vector<FreqEntry> cache((kCacheCov + 1) * (kCacheCov + 1) + 1);
+    std::vector<uint8_t> have((kCacheCov + 1) * (kCacheCov + 1) + 1, 0);
+
+    int64_t w = 0;
+    size_t chr_len = std::strlen(chr_name);
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + (int64_t)chr_len + 96 > cap) return -1;
+        std::memcpy(out + w, chr_name, chr_len);
+        w += chr_len;
+        int32_t p = pcov[i], c = cov[i];
+        out[w++] = '\t';
+        w += hm_itoa(out + w, pos[i]);
+        out[w++] = '\t';
+        w += hm_itoa(out + w, (int64_t)pos[i] + 1);
+        out[w++] = '\t';
+        if (c <= kCacheCov && p <= c) {
+            size_t idx = (size_t)p * (kCacheCov + 1) + c;
+            if (!have[idx]) {
+                cache[idx].len = (uint8_t)std::snprintf(
+                    cache[idx].s, sizeof cache[idx].s, "%g", 100.0 * p / c);
+                have[idx] = 1;
+            }
+            std::memcpy(out + w, cache[idx].s, cache[idx].len);
+            w += cache[idx].len;
+        } else {
+            w += std::snprintf(out + w, 32, "%g", 100.0 * p / c);
+        }
+        out[w++] = '\t';
+        w += hm_itoa(out + w, p);
+        out[w++] = '\t';
+        w += hm_itoa(out + w, c - p);
+        out[w++] = '\n';
+    }
+    return w;
 }
 
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
