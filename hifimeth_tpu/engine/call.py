@@ -275,8 +275,12 @@ class CallEngine:
             raise ValueError(
                 f"read {rec.qname} ({read.size} bp) exceeds buffer capacity "
                 f"{self.cfg.buffer_bases}; raise --buffer-bases")
-        flush_limit = min(self.cfg.flush_bases or self.cfg.buffer_bases,
-                          self.cfg.buffer_bases - self._margin)
+        # sub-capacity flushes only pay off on the pallas path, where just
+        # the FILLED segments ship (slice/folded ship the whole cap-sized
+        # buffer per flush, so finer flushes would multiply H2D traffic)
+        fb = (self.cfg.flush_bases if self.cfg.gather_impl == "pallas"
+              else 0) or self.cfg.buffer_bases
+        flush_limit = min(fb, self.cfg.buffer_bases - self._margin)
         if self._fill > self._margin and self._fill + read.size > flush_limit:
             self.flush(out)
         t0 = time.perf_counter()
