@@ -193,10 +193,10 @@ def main():
             cfg.flush_bases = args.flush_bases
         # warm-up run compiles everything (persistent-cache assisted)
         run_call(bam, out_bam, cfg)
-        # best of 2 timed runs: device round-trip latency through shared TPU
-        # front-ends varies ~30% run to run; best-of reflects machine speed
+        # best of 3 timed runs: device round-trip latency through shared TPU
+        # front-ends varies ~30-50% run to run; best-of reflects machine speed
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             stats = run_call(bam, out_bam, cfg)
             dt = min(dt, time.time() - t0)

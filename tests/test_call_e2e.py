@@ -137,3 +137,75 @@ def test_unknown_gather_impl_rejected():
     for bad in ("blocked", "u8", "dense", ""):
         with pytest.raises(ValueError, match="gather_impl"):
             CallEngine(CallConfig(gather_impl=bad))
+
+
+def test_async_emit_matches_sync(tmp_path):
+    """The async emit worker (CallConfig.async_emit) must produce records
+    identical to and in the same order as the inline path, across many
+    small flushes with mixed passthrough/called reads (the reference's
+    ordering contract: read-id sort per batch, mod_main.cpp:352-362)."""
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(24):
+        ln = int(rng.integers(900, 2600))  # some below min_read_size
+        recs.append(make_kinetics_read(rng, f"r{i}", ln))
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    outs = {}
+    for tag, ae in (("async", True), ("sync", False)):
+        out = tmp_path / f"{tag}.bam"
+        # tiny buffer + pallas (interpret on CPU) forces many flushes, so
+        # several are queued/in-flight in the worker at once
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 13, site_batch=128,
+                            gather_impl="pallas", async_emit=ae))
+        outs[tag] = [
+            (r.qname, r.get_tag("MM"), None if r.get_tag("ML") is None
+             else bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+            for r in BamReader(str(out))]
+    assert [q for q, _, _ in outs["async"]] == [r.qname for r in recs]
+    assert outs["async"] == outs["sync"]
+
+
+def test_async_emit_propagates_worker_errors(tmp_path):
+    """An exception on the emit worker must surface on the caller, not
+    hang or get swallowed (fail-fast, hbn_aux.hpp:100-104 spirit)."""
+    rng = np.random.default_rng(12)
+    recs = [make_kinetics_read(rng, f"r{i}", 1200) for i in range(6)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    from hifimeth_tpu.engine.call import CallEngine
+
+    eng = CallEngine(CallConfig(buffer_bases=1 << 13, site_batch=128))
+    boom = RuntimeError("sink failed")
+
+    def bad_sink(rec):
+        raise boom
+
+    eng.sink = bad_sink
+    done = []
+    with pytest.raises(RuntimeError, match="sink failed"):
+        for rec in BamReader(str(in_bam)):
+            eng.add_read(rec, done)
+        eng.finalize(done)
+
+
+def test_flush_bases_smaller_than_read(tmp_path):
+    """A read longer than flush_bases must still pack (into an empty
+    buffer) rather than flush-loop forever; outputs match the cap-flush
+    run."""
+    rng = np.random.default_rng(13)
+    recs = [make_kinetics_read(rng, f"r{i}", 3000) for i in range(4)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    outs = {}
+    for tag, fb in (("fine", 1024), ("cap", 0)):
+        out = tmp_path / f"{tag}.bam"
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 14, site_batch=128,
+                            gather_impl="pallas", flush_bases=fb))
+        outs[tag] = [(r.qname, r.get_tag("MM"),
+                      bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+                     for r in BamReader(str(out))]
+    assert outs["fine"] == outs["cap"] and len(outs["fine"]) == 4
