@@ -58,11 +58,16 @@ def _load():
         lib.hm_bed_rows.restype = c_i64
         lib.hm_bed_rows.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, c_i64,
                                     ctypes.c_char_p, c_i64]
+        lib.hm_scan_bed6.restype = c_i64
+        lib.hm_scan_bed6.argtypes = [u8p, c_i64, c_i32,
+                                     i64p, i64p, i64p, i64p, i32p,
+                                     i64p, i32p, c_i64, i64p]
     except AttributeError:  # stale .so from before these entry points
         lib.hm_scan_sites = None
         lib.hm_mm_deltas = None
         lib.hm_parse_deltas = None
         lib.hm_bed_rows = None
+        lib.hm_scan_bed6 = None
     _LIB = lib
     return _LIB
 
@@ -238,6 +243,46 @@ def bed_rows(chr_name: str, pos: np.ndarray, pcov: np.ndarray,
     if w < 0:
         raise ValueError("bed_rows: buffer overflow")
     return out.raw[:w]
+
+
+def scan_bed6(data: bytes, skip_short: bool):
+    """Parse 6+-column methylation-BED/Bismark-cov text.
+
+    Returns (names, chrid, start, end, pcov, ncov) where `names` is the
+    list of chr names in run order and chrid indexes into it; None if the
+    native library is unavailable; raises ValueError (with the offending
+    line) on malformed rows."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_scan_bed6", None) is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    max_rows = data.count(b"\n") + 2
+    start = np.empty(max_rows, np.int64)
+    end = np.empty(max_rows, np.int64)
+    pcov = np.empty(max_rows, np.int64)
+    ncov = np.empty(max_rows, np.int64)
+    chrid = np.empty(max_rows, np.int32)
+    max_names = 1 << 16
+    name_off = np.empty(max_names, np.int64)
+    name_len = np.empty(max_names, np.int32)
+    n_names = ctypes.c_int64(0)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.hm_scan_bed6(
+        _u8p(np.ascontiguousarray(buf)), len(buf), int(skip_short),
+        start.ctypes.data_as(i64), end.ctypes.data_as(i64),
+        pcov.ctypes.data_as(i64), ncov.ctypes.data_as(i64),
+        chrid.ctypes.data_as(i32),
+        name_off.ctypes.data_as(i64), name_len.ctypes.data_as(i32),
+        max_names, ctypes.byref(n_names))
+    if n < 0:
+        off = -(n + 1)
+        line = data[off:data.find(b"\n", off) if data.find(b"\n", off) >= 0
+                    else len(data)]
+        raise ValueError(f"corrupted BED record {line!r}")
+    names = [data[name_off[i]:name_off[i] + name_len[i]].decode()
+             for i in range(n_names.value)]
+    return names, chrid[:n], start[:n], end[:n], pcov[:n], ncov[:n]
 
 
 def encode_codev1(frames: np.ndarray):

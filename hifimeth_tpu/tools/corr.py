@@ -14,6 +14,21 @@ from ..utils.logging import log
 
 
 def load_bed_methy(path: str, min_cov: int, chr_name2id: dict[str, int]):
+    from ..io import native
+    from ..utils.lines import read_bytes
+    if native.available() and getattr(native._load(), "hm_scan_bed6", None):
+        # native buffer scan + vectorized filter (~20x the per-line loop;
+        # short rows skipped like pileup_correlation.cpp:98-104)
+        r = native.scan_bed6(read_bytes(path), skip_short=True)
+        names, chrid, start, _, pcov, ncov = r
+        sids = np.array([chr_name2id.setdefault(nm, len(chr_name2id))
+                         for nm in names], np.uint64)
+        cov = pcov + ncov
+        keep = cov >= min_cov
+        keys = ((sids[chrid[keep]] << np.uint64(32))
+                | start[keep].astype(np.uint64))
+        freqs = pcov[keep] / cov[keep]
+        return keys, freqs.astype(np.float64)
     keys, freqs = [], []
     last_chr = None
     last_sid = -1

@@ -36,6 +36,33 @@ def load_bismark_labels(db_sizes: dict[str, int], bed_path: str):
     1 methylated (eval.cpp:42-114)."""
     labels = {name: np.full(size, -1, np.int8) for name, size in db_sizes.items()}
     np_, nn = 0, 0
+    from ..io import native
+    if native.available() and getattr(native._load(), "hm_scan_bed6", None):
+        from ..utils.lines import read_bytes
+        names, chrid, start, end, pcov, ncov = native.scan_bed6(
+            read_bytes(bed_path), skip_short=False)
+        if np.any(end - start != 1):
+            i = int(np.flatnonzero(end - start != 1)[0])
+            raise ValueError(
+                f"label BED must have end-start==1: "
+                f"{names[chrid[i]]}:{start[i]}-{end[i]}")
+        # label only fully un/methylated loci (0%/100%) with cov >= 10;
+        # partial rows stay -1 (eval.cpp:42-114)
+        keep = (pcov + ncov >= 10) & ((pcov == 0) | (ncov == 0))
+        for i, nm in enumerate(names):
+            arr = labels.get(nm)
+            if arr is None:
+                continue
+            m = keep & (chrid == i)
+            s, p = start[m], pcov[m]
+            # row order preserved: duplicate positions resolve last-wins,
+            # as in the sequential loop below
+            arr[s] = (p != 0).astype(np.int8)
+            np_ += int((p != 0).sum())
+            nn += int((p == 0).sum())
+        log("Load %d methylated sites and %d unmethylated sites from %s",
+            np_, nn, bed_path)
+        return labels
     from ..utils.lines import open_text
     with open_text(bed_path) as f:
         for line in f:

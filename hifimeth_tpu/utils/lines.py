@@ -31,3 +31,17 @@ def open_text(path: str):
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         yield f
+
+
+def read_bytes(path: str) -> bytes:
+    """Whole-input bytes with the same `-`/gz conventions as open_text
+    (for native text scanners that parse a full buffer)."""
+    if path == "-":
+        raw = sys.stdin.buffer
+        data = raw.read()
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+        return data
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return f.read()

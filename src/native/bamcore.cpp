@@ -359,6 +359,84 @@ int64_t hm_bed_rows(const char* chr_name,
     return w;
 }
 
+// Scan 6+-column methylation-BED/Bismark-cov text: per row, parse
+// col0 (chr, run-length encoded as a local id), col1 (start), col2 (end),
+// col4 (pcov), col5 (ncov); col3 (freq) and any trailing columns are
+// skipped.  skip_short=1 silently drops rows with fewer than 6 columns
+// (pileup_correlation.cpp:98-104 tolerance); otherwise a short row is an
+// error.  Malformed integers are always errors (matching Python int()).
+// Returns the number of rows parsed, or -(byte_offset+1) of the offending
+// row on error.  name_off/name_len record each NEW chr run (caller decodes
+// the names from the buffer).
+int64_t hm_scan_bed6(const uint8_t* buf, int64_t len, int32_t skip_short,
+                     int64_t* start, int64_t* end_, int64_t* pcov,
+                     int64_t* ncov, int32_t* chrid,
+                     int64_t* name_off, int32_t* name_len,
+                     int64_t max_names, int64_t* n_names_out) {
+    int64_t n = 0, n_names = 0;
+    int64_t prev_off = -1, prev_len = -1;
+    int64_t i = 0;
+    while (i < len) {
+        int64_t row = i;
+        // col0: chr name
+        int64_t e = i;
+        while (e < len && buf[e] != '\t' && buf[e] != '\n') ++e;
+        int64_t next = e;
+        while (next < len && buf[next] != '\n') ++next;
+        // tolerate \r\n (Python int() strips the \r)
+        int64_t line_end = (next > row && buf[next - 1] == '\r') ? next - 1
+                                                                 : next;
+        if (e >= len || buf[e] != '\t') {  // <2 columns
+            if (skip_short) { i = next + 1; continue; }
+            return -(row + 1);
+        }
+        int64_t c0_off = i, c0_len = e - i;
+        int64_t vals[4];
+        int64_t p = e + 1;
+        bool short_row = false, bad = false;
+        for (int col = 1; col <= 5 && !short_row && !bad; ++col) {
+            int64_t ve = p;
+            while (ve < line_end && buf[ve] != '\t') ++ve;
+            if (col < 5 && ve >= line_end) { short_row = true; break; }
+            if (col == 3) {  // freq: skipped, any content allowed
+                p = ve + 1;
+                continue;
+            }
+            if (ve == p) { bad = true; break; }
+            int64_t v = 0;
+            for (int64_t k = p; k < ve; ++k) {
+                if (buf[k] < '0' || buf[k] > '9') { bad = true; break; }
+                v = v * 10 + (buf[k] - '0');
+            }
+            vals[col > 3 ? col - 2 : col - 1] = v;
+            p = ve + 1;
+        }
+        if (short_row) {
+            if (skip_short) { i = next + 1; continue; }
+            return -(row + 1);
+        }
+        if (bad) return -(row + 1);
+        if (prev_len != c0_len ||
+            std::memcmp(buf + prev_off, buf + c0_off, c0_len) != 0) {
+            if (n_names >= max_names) return -(row + 1);
+            name_off[n_names] = c0_off;
+            name_len[n_names] = (int32_t)c0_len;
+            ++n_names;
+            prev_off = c0_off;
+            prev_len = c0_len;
+        }
+        start[n] = vals[0];
+        end_[n] = vals[1];
+        pcov[n] = vals[2];
+        ncov[n] = vals[3];
+        chrid[n] = (int32_t)(n_names - 1);
+        ++n;
+        i = next + 1;
+    }
+    *n_names_out = n_names;
+    return n;
+}
+
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) {
         int32_t s = frames[i];

@@ -116,3 +116,50 @@ def test_mm_deltas_rejects_off_base_call():
     seq = np.frombuffer(b"ACGT", np.uint8)
     with pytest.raises(ValueError):
         native.mm_deltas(seq, ord("C"), np.array([0], np.int64))  # 'A'
+
+
+def test_scan_bed6_parity_and_errors():
+    rows = (b"chr1\t10\t11\t50\t3\t3\n"
+            b"chr1\t20\t21\t0\t0\t12\n"
+            b"chr2\t5\t6\t100\t15\t0\n"
+            b"chr1\t30\t31\t33.333\t1\t2\r\n"     # crlf + float freq
+            b"short\trow\n"                        # <6 cols
+            b"chr2\t7\t8\t0\t0\t9\n")
+    names, chrid, start, end, pcov, ncov = native.scan_bed6(rows, True)
+    assert names == ["chr1", "chr2", "chr1", "chr2"]
+    np.testing.assert_array_equal(start, [10, 20, 5, 30, 7])
+    np.testing.assert_array_equal(end, [11, 21, 6, 31, 8])
+    np.testing.assert_array_equal(pcov, [3, 0, 15, 1, 0])
+    np.testing.assert_array_equal(ncov, [3, 12, 0, 2, 9])
+    np.testing.assert_array_equal(chrid, [0, 0, 1, 2, 3])
+    with pytest.raises(ValueError):       # strict mode rejects short rows
+        native.scan_bed6(rows, False)
+    with pytest.raises(ValueError):       # malformed int always rejected
+        native.scan_bed6(b"chr1\t1a\t2\t0\t1\t2\n", True)
+
+
+def test_corr_native_matches_python(tmp_path):
+    """load_bed_methy native path vs the per-line fallback."""
+    from hifimeth_tpu.tools import corr as corr_mod
+    rng = np.random.default_rng(6)
+    lines = []
+    for chrom in ("chr2", "chr1", "chr2"):  # non-adjacent runs share an id
+        for _ in range(200):
+            c = int(rng.integers(1, 20))
+            p = int(rng.integers(0, c + 1))
+            s = int(rng.integers(0, 10**6))
+            lines.append(f"{chrom}\t{s}\t{s+1}\t{100*p/c:g}\t{p}\t{c-p}")
+    lines.insert(5, "bad")                 # short row: skipped
+    path = tmp_path / "x.bed"
+    path.write_text("\n".join(lines) + "\n")
+    m1, m2 = {}, {}
+    k_nat, f_nat = corr_mod.load_bed_methy(str(path), 5, m1)
+    orig = native._LIB
+    try:
+        native._LIB = False                # force the fallback
+        k_py, f_py = corr_mod.load_bed_methy(str(path), 5, m2)
+    finally:
+        native._LIB = orig
+    assert m1 == m2
+    np.testing.assert_array_equal(k_nat, k_py)
+    np.testing.assert_allclose(f_nat, f_py)
