@@ -62,12 +62,17 @@ def _load():
         lib.hm_scan_bed6.argtypes = [u8p, c_i64, c_i32,
                                      i64p, i64p, i64p, i64p, i32p,
                                      i64p, i32p, c_i64, i64p]
+        lib.hm_bed_rows7.restype = c_i64
+        lib.hm_bed_rows7.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, u8p,
+                                     ctypes.c_char_p, c_i32, c_i64,
+                                     ctypes.c_char_p, c_i64]
     except AttributeError:  # stale .so from before these entry points
         lib.hm_scan_sites = None
         lib.hm_mm_deltas = None
         lib.hm_parse_deltas = None
         lib.hm_bed_rows = None
         lib.hm_scan_bed6 = None
+        lib.hm_bed_rows7 = None
     _LIB = lib
     return _LIB
 
@@ -242,6 +247,31 @@ def bed_rows(chr_name: str, pos: np.ndarray, pcov: np.ndarray,
                         len(pos), out, cap)
     if w < 0:
         raise ValueError("bed_rows: buffer overflow")
+    return out.raw[:w]
+
+
+def bed_rows7(chr_name: str, pos: np.ndarray, pcov: np.ndarray,
+              cov: np.ndarray, motif_id: np.ndarray,
+              motif_names: list[str]):
+    """7-column BED rows (…\\tmotif); None if unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_bed_rows7", None) is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.int32)
+    pcov = np.ascontiguousarray(pcov, np.int32)
+    cov = np.ascontiguousarray(cov, np.int32)
+    motif_id = np.ascontiguousarray(motif_id, np.uint8)
+    stride = max(len(m) for m in motif_names) + 1
+    table = b"".join(m.encode().ljust(stride, b"\0") for m in motif_names)
+    name = chr_name.encode()
+    cap = (len(name) + 128) * max(len(pos), 1)
+    out = ctypes.create_string_buffer(cap)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    w = lib.hm_bed_rows7(name, pos.ctypes.data_as(i32),
+                         pcov.ctypes.data_as(i32), cov.ctypes.data_as(i32),
+                         _u8p(motif_id), table, stride, len(pos), out, cap)
+    if w < 0:
+        raise ValueError("bed_rows7: buffer overflow")
     return out.raw[:w]
 
 

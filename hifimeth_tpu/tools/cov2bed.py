@@ -63,6 +63,100 @@ def _dump_chr(out, name: str, acc: _ChrAccum) -> None:
                   f"\t{int(acc.ncov[i])}\t{acc.motif[i]}\n")
 
 
+def _run_cov2bed_vec(db, ctx: str, names, chrid, soff, pcov, ncov, out):
+    """Vectorized per-chromosome-run conversion (bit-identical rows to the
+    sequential loop for position-sorted runs - the caller checks).  Returns
+    (fwd_sites, rev_sites)."""
+    from ..io import native
+
+    _A, _T = ord("A"), ord("T")
+    if ctx == "CPG":
+        motif_names = ["CG"]
+    elif ctx == "CHG":
+        motif_names = ["CCG", "CAG", "CTG"]
+    else:
+        motif_names = list(FWD_CHH_MOTIFS)
+    fs = rs = 0
+    for run, nm in enumerate(names):
+        sid = db.seq_name2id(nm)
+        seq = db.seq_bases(sid)
+        L = len(seq)
+        m = chrid == run
+        s, p, nv = soff[m], pcov[m], ncov[m]
+        ok = (s >= 0) & (s < L)
+        s, p, nv = s[ok], p[ok], nv[ok]
+        c0 = seq[s]
+        pc = np.zeros(L, np.int64)
+        nc = np.zeros(L, np.int64)
+        mid = np.zeros(L, np.uint8)          # 0 = no site, else motif id + 1
+
+        def at(off):
+            return seq[np.clip(s + off, 0, L - 1)]
+
+        if ctx == "CPG":
+            fwd = (c0 == _C) & (s + 1 < L) & (at(1) == _G)
+            rev = (c0 == _G) & (s - 1 >= 0) & (at(-1) == _C)
+            t = s[fwd]
+            pc[t], nc[t], mid[t] = p[fwd], nv[fwd], 1
+            t = s[rev] - 1
+            np.add.at(pc, t, p[rev])
+            np.add.at(nc, t, nv[rev])
+            mid[t] = 1
+        elif ctx == "CHG":
+            c1, c2 = at(1), at(2)
+            b1, b2 = at(-1), at(-2)
+            fwd = ((c0 == _C) & (s + 2 < L) & (c2 == _G)
+                   & ((c1 == _C) | (c1 == _A) | (c1 == _T)))
+            revg = (c0 == _G) & (s - 2 >= 0) & (b2 == _C) & (b1 == _G)
+            reva = ((c0 == _G) & (s - 2 >= 0) & (b2 == _C)
+                    & ((b1 == _A) | (b1 == _T)))
+            t = s[fwd]
+            pc[t], nc[t] = p[fwd], nv[fwd]
+            mid[t] = np.where(c1[fwd] == _C, 1,
+                              np.where(c1[fwd] == _A, 2, 3)).astype(np.uint8)
+            t = s[revg]                       # genome CGG kept at its own G
+            pc[t], nc[t], mid[t] = p[revg], nv[revg], 1
+            t = s[reva] - 2                   # rev CAG/CTG aggregated to fwd C
+            np.add.at(pc, t, p[reva])
+            np.add.at(nc, t, nv[reva])
+            fill = mid[t] == 0                # keep_existing_motif=True
+            mid[t[fill]] = np.where(b1[reva][fill] == _A, 2,
+                                    3).astype(np.uint8)
+            rev = revg | reva
+        else:  # CHH
+            codes = IUPACNA_TO_CODE[seq].astype(np.int16)
+
+            def hsh(off):
+                a = codes[np.clip(s + off, 0, L - 1)]
+                b = codes[np.clip(s + off + 1, 0, L - 1)]
+                c = codes[np.clip(s + off + 2, 0, L - 1)]
+                valid = (a <= 3) & (b <= 3) & (c <= 3)
+                return np.where(valid, (a << 4) | (b << 2) | c, 64)
+
+            hf = hsh(0)
+            fidx = np.asarray(FWD_CHH_IDX)[np.minimum(hf, 63)]
+            fwd = (c0 == _C) & (s + 2 < L) & (hf < 64) & (fidx != 255)
+            hr = hsh(-2)
+            ridx = np.asarray(REV_CHH_IDX)[np.minimum(hr, 63)]
+            rev = ((c0 != _C) & (c0 == _G) & (s - 2 >= 0) & (hr < 64)
+                   & (ridx != 255))
+            t = s[fwd]
+            pc[t], nc[t] = p[fwd], nv[fwd]
+            mid[t] = (fidx[fwd] + 1).astype(np.uint8)
+            t = s[rev]
+            pc[t], nc[t] = p[rev], nv[rev]
+            mid[t] = (ridx[rev] + 1).astype(np.uint8)
+        fs += int(fwd.sum())
+        rs += int(rev.sum())
+        rows = np.flatnonzero(mid)
+        for lo in range(0, len(rows), 1 << 20):
+            sel = rows[lo:lo + (1 << 20)]
+            out.write(native.bed_rows7(
+                db.seq_name(sid), sel, pc[sel], pc[sel] + nc[sel],
+                mid[sel] - 1, motif_names).decode())
+    return fs, rs
+
+
 def run_cov2bed(reference_path: str, context: str, bismark_path: str,
                 bed_path: str) -> None:
     ctx = context.upper()
@@ -72,6 +166,32 @@ def run_cov2bed(reference_path: str, context: str, bismark_path: str,
         raise SystemExit(1)
     db = FastaDatabase(reference_path)
     out = open(bed_path, "w")
+
+    from ..io import native
+    lib_ok = native.available() and \
+        getattr(native._load(), "hm_scan_bed6", None) and \
+        getattr(native._load(), "hm_bed_rows7", None)
+    if lib_ok:
+        from ..utils.lines import read_bytes
+        names, chrid, start, end, pcov, ncov = native.scan_bed6(
+            read_bytes(bismark_path), skip_short=False)
+        if np.any(end != start):
+            i = int(np.flatnonzero(end != start)[0])
+            out.close()
+            raise ValueError(
+                f"bismark cov must have end==start: "
+                f"{names[chrid[i]]}:{start[i]}-{end[i]}")
+        # the vectorized path assumes position-sorted runs (standard
+        # Bismark output); anything else falls back to the row loop
+        soff = start - 1
+        sorted_runs = all(
+            np.all(np.diff(soff[chrid == r]) >= 0) for r in range(len(names)))
+        if sorted_runs:
+            fs, rs = _run_cov2bed_vec(db, ctx, names, chrid, soff,
+                                      pcov, ncov, out)
+            out.close()
+            log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)
+            return
     acc: _ChrAccum | None = None
     last_sid = -1
     fs = rs = 0

@@ -314,10 +314,15 @@ static inline int64_t hm_itoa(char* out, int64_t v) {
     return w;
 }
 
-int64_t hm_bed_rows(const char* chr_name,
-                    const int32_t* pos, const int32_t* pcov,
-                    const int32_t* cov, int64_t n,
-                    char* out, int64_t cap) {
+// Shared 6/7-column row formatter.  motif_id/motif_names NULL -> 6 columns;
+// otherwise column 7 is motif_names + motif_id[i]*motif_stride (NUL-
+// terminated, fixed stride).
+static int64_t hm_bed_rows_impl(const char* chr_name,
+                                const int32_t* pos, const int32_t* pcov,
+                                const int32_t* cov,
+                                const uint8_t* motif_id,
+                                const char* motif_names, int32_t motif_stride,
+                                int64_t n, char* out, int64_t cap) {
     // freq-string cache for small coverages: %g double formatting is ~90%
     // of snprintf cost and coverage values repeat constantly.  Entry
     // (p, c) with c <= 512 lives at p * 513 + c (p <= c).
@@ -329,7 +334,7 @@ int64_t hm_bed_rows(const char* chr_name,
     int64_t w = 0;
     size_t chr_len = std::strlen(chr_name);
     for (int64_t i = 0; i < n; ++i) {
-        if (w + (int64_t)chr_len + 96 > cap) return -1;
+        if (w + (int64_t)chr_len + 128 > cap) return -1;
         std::memcpy(out + w, chr_name, chr_len);
         w += chr_len;
         int32_t p = pcov[i], c = cov[i];
@@ -338,7 +343,12 @@ int64_t hm_bed_rows(const char* chr_name,
         out[w++] = '\t';
         w += hm_itoa(out + w, (int64_t)pos[i] + 1);
         out[w++] = '\t';
-        if (c <= kCacheCov && p <= c) {
+        if (c == 0) {
+            // degenerate 0-coverage row: Python float formatting says
+            // "nan" where glibc %g may print "-nan"; keep paths identical
+            std::memcpy(out + w, "nan", 3);
+            w += 3;
+        } else if (c <= kCacheCov && p <= c) {
             size_t idx = (size_t)p * (kCacheCov + 1) + c;
             if (!have[idx]) {
                 cache[idx].len = (uint8_t)std::snprintf(
@@ -354,9 +364,35 @@ int64_t hm_bed_rows(const char* chr_name,
         w += hm_itoa(out + w, p);
         out[w++] = '\t';
         w += hm_itoa(out + w, c - p);
+        if (motif_id) {
+            out[w++] = '\t';
+            const char* m = motif_names + (size_t)motif_id[i] * motif_stride;
+            size_t ml = std::strlen(m);
+            std::memcpy(out + w, m, ml);
+            w += (int64_t)ml;
+        }
         out[w++] = '\n';
     }
     return w;
+}
+
+int64_t hm_bed_rows(const char* chr_name,
+                    const int32_t* pos, const int32_t* pcov,
+                    const int32_t* cov, int64_t n,
+                    char* out, int64_t cap) {
+    return hm_bed_rows_impl(chr_name, pos, pcov, cov, nullptr, nullptr, 0,
+                            n, out, cap);
+}
+
+// 7-column variant (cov_to_bed.cpp:19-34 output format): appends the motif
+// string selected by motif_id from a fixed-stride NUL-terminated name table.
+int64_t hm_bed_rows7(const char* chr_name,
+                     const int32_t* pos, const int32_t* pcov,
+                     const int32_t* cov, const uint8_t* motif_id,
+                     const char* motif_names, int32_t motif_stride,
+                     int64_t n, char* out, int64_t cap) {
+    return hm_bed_rows_impl(chr_name, pos, pcov, cov, motif_id, motif_names,
+                            motif_stride, n, out, cap);
 }
 
 // Scan 6+-column methylation-BED/Bismark-cov text: per row, parse

@@ -179,3 +179,35 @@ def test_run_read_level_eval(tmp_path):
     res = run_read_level_eval(str(tmp_path / "ev"), 2)
     assert 0.5 < res["accuracy"][0] <= 1.0
     assert 0.5 < res["auc"][0] <= 1.0
+
+
+def test_cov2bed_vectorized_matches_loop(tmp_path):
+    """The native/vectorized cov2bed path must emit byte-identical BEDs to
+    the sequential row loop, for every context, on random input."""
+    import numpy as np
+    from hifimeth_tpu.io import native
+    from hifimeth_tpu.tools.cov2bed import run_cov2bed
+    if not native.available():
+        import pytest
+        pytest.skip("libbamcore not built")
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGTN"), 4000, p=[.24, .26, .26, .23, .01]))
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(f">c1 x\n{genome[:2500]}\n>c2 y\n{genome[2500:]}\n")
+    cov = tmp_path / "in.cov"
+    with open(cov, "w") as f:
+        for name, size in (("c1", 2500), ("c2", 1500)):
+            pos = np.sort(rng.choice(size, size // 2, replace=False)) + 1
+            for s in pos.tolist():
+                p, n = int(rng.integers(0, 20)), int(rng.integers(0, 20))
+                f.write(f"{name}\t{s}\t{s}\t{100*p/max(p+n,1):g}\t{p}\t{n}\n")
+    for ctx in ("CpG", "CHG", "CHH"):
+        a, b = tmp_path / f"{ctx}.vec.bed", tmp_path / f"{ctx}.loop.bed"
+        run_cov2bed(str(fasta), ctx, str(cov), str(a))
+        orig = native._LIB
+        try:
+            native._LIB = False
+            run_cov2bed(str(fasta), ctx, str(cov), str(b))
+        finally:
+            native._LIB = orig
+        assert a.read_bytes() == b.read_bytes(), ctx
