@@ -115,6 +115,9 @@ def _parse_call(argv):
               "  -t INT   IO threads (default 8)\n"
               "  --dtype {f32,bf16}   device compute dtype\n"
               "  --buffer-bases INT   packed device buffer capacity\n"
+              "  --flush-bases INT    flush granularity (pallas path; "
+              "0 = capacity)\n"
+              "  --sync-emit          disable the async emit worker thread\n"
               "  --gather-impl {auto,slice,folded,pallas}\n"
               "           window-fetch path (auto: Pallas group-fetch "
               "kernel on TPU, folded on CPU)",
