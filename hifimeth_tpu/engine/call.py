@@ -56,18 +56,20 @@ class CallConfig:
     buffer_bases: int = 1 << 21          # packed-buffer CAPACITY (static jit
                                          # shape: featurize/table programs
                                          # compile once per cap)
-    flush_bases: int = 1 << 18           # flush GRANULARITY: dispatch once
-                                         # this many bases are packed
-                                         # (0 = buffer_bases).  Smaller
-                                         # flushes pipeline host decode /
-                                         # device compute / async emit at
-                                         # finer grain WITHOUT changing any
-                                         # compiled shape - the buffer stays
-                                         # cap-sized and only filled segments
-                                         # ship (featurize_planes_t_seg zero-
-                                         # fills the tail).  256 Ki measured
-                                         # best on the v5e tunnel (~15% over
-                                         # cap-sized flushes)
+    flush_bases: int = 3 << 17           # flush GRANULARITY (384 Ki):
+                                         # dispatch once this many bases are
+                                         # packed (0 = buffer_bases).
+                                         # Smaller flushes pipeline host
+                                         # decode / device compute / async
+                                         # emit at finer grain WITHOUT
+                                         # changing any compiled shape - the
+                                         # buffer stays cap-sized and only
+                                         # filled segments ship
+                                         # (featurize_planes_t_seg zero-
+                                         # fills the tail).  Interleaved
+                                         # sweep on the v5e tunnel: 384 Ki
+                                         # 1.62M sites/s > 256 Ki 1.50M >
+                                         # 192 Ki 1.34M > cap-sized 1.19M
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"

@@ -380,6 +380,17 @@ class _ExternalSpill:
                 yield arr
 
 
+def _pass2_worker(args):
+    """Multiprocessing worker: pass 2 over a contiguous chromosome range,
+    writing per-context part files (suffix) the parent concatenates in
+    range order.  Runs jax-free (numpy only)."""
+    (reference_path, thresholds, spill_paths, prefix, sids, suffix) = args
+    db = FastaDatabase(reference_path, quiet=True)
+    return _pass2(db, np.asarray(thresholds, np.uint8),
+                  [_ExternalSpill(p) for p in spill_paths],
+                  prefix, set(sids), suffix)
+
+
 def _pass1_worker(args):
     """Multiprocessing worker: run pass 1 for one shard, return
     (bins, spill_path, n_reads).  Runs jax-free (numpy only)."""
@@ -459,8 +470,44 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
         resolve_threshold(bins[2], "CHH"),
     ], np.uint8)
     db = FastaDatabase(reference_path)
-    rows = _pass2(db, thresholds, [_ExternalSpill(p) for p in spill_paths],
-                  output_prefix, set(range(db.num_seqs)), "")
+    if db.num_seqs > 1:
+        # parallel pass 2: contiguous sid ranges balanced by sequence
+        # length run on the same pool (part files concatenated in range
+        # order keep the global sid order).  The reference's pass 2 is
+        # serial (pileup.cpp:513-595); chromosomes are independent here.
+        import shutil
+
+        lens = [db.seq_length(s) for s in range(db.num_seqs)]
+        target = sum(lens) / workers
+        ranges: list[list[int]] = [[]]
+        acc = 0
+        for s in range(db.num_seqs):
+            if acc >= target and len(ranges) < workers:
+                ranges.append([])
+                acc = 0
+            ranges[-1].append(s)
+            acc += lens[s]
+        jobs2 = [(reference_path, thresholds.tolist(), spill_paths,
+                  output_prefix, r, f".part{i}")
+                 for i, r in enumerate(ranges)]
+        try:
+            rows = sum(pool.map(_pass2_worker, jobs2))
+        except Exception:
+            _POOL_CACHE.pop(workers, None)
+            pool.terminate()
+            raise
+        for ctxname in ("CpG", "CHG", "CHH"):
+            final = f"{output_prefix}.{ctxname}.cov.bed"
+            with open(final, "wb") as outf:
+                for i in range(len(ranges)):
+                    part = f"{final}.part{i}"
+                    with open(part, "rb") as pf:
+                        shutil.copyfileobj(pf, outf)
+                    os.remove(part)
+    else:
+        rows = _pass2(db, thresholds,
+                      [_ExternalSpill(p) for p in spill_paths],
+                      output_prefix, set(range(db.num_seqs)), "")
     for p in spill_paths:
         try:
             os.remove(p)

@@ -344,8 +344,10 @@ def test_parallel_pileup_matches_single(tmp_path):
     run_pileup_parallel(str(fasta), str(bam), p2, workers=3,
                         spill_dir=str(tmp_path))
     for ctx in ("CpG", "CHG", "CHH"):
-        a = sorted(open(f"{p1}.{ctx}.cov.bed").read().splitlines())
-        b = sorted(open(f"{p2}.{ctx}.cov.bed").read().splitlines())
+        a = open(f"{p1}.{ctx}.cov.bed").read()
+        b = open(f"{p2}.{ctx}.cov.bed").read()
+        # byte-equal INCLUDING order: the parallel pass 2 concatenates its
+        # per-range part files in sid order
         assert a == b, f"{ctx} mismatch"
 
 
