@@ -56,7 +56,7 @@ class CallConfig:
     buffer_bases: int = 1 << 21          # packed-buffer CAPACITY (static jit
                                          # shape: featurize/table programs
                                          # compile once per cap)
-    flush_bases: int = 3 << 17           # flush GRANULARITY (384 Ki):
+    flush_bases: int = 1 << 19           # flush GRANULARITY (512 Ki):
                                          # dispatch once this many bases are
                                          # packed (0 = buffer_bases).
                                          # Smaller flushes pipeline host
@@ -67,9 +67,10 @@ class CallConfig:
                                          # filled segments ship
                                          # (featurize_planes_t_seg zero-
                                          # fills the tail).  Interleaved
-                                         # sweep on the v5e tunnel: 384 Ki
-                                         # 1.62M sites/s > 256 Ki 1.50M >
-                                         # 192 Ki 1.34M > cap-sized 1.19M
+                                         # sweeps on the v5e tunnel:
+                                         # 448-512 Ki ~1.59M sites/s >
+                                         # 384 Ki 1.47M > 256 Ki > 192 Ki >
+                                         # cap-sized 1.19M
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
