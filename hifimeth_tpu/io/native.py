@@ -239,7 +239,9 @@ def bed_rows(chr_name: str, pos: np.ndarray, pcov: np.ndarray,
     pcov = np.ascontiguousarray(pcov, np.int32)
     cov = np.ascontiguousarray(cov, np.int32)
     name = chr_name.encode()
-    cap = (len(name) + 96) * max(len(pos), 1)
+    # hm_bed_rows_impl's per-row guard requires chr_len+128 headroom even
+    # though rows are shorter; size to match or a 1-row call always "overflows"
+    cap = (len(name) + 128) * max(len(pos), 1) + 8
     out = ctypes.create_string_buffer(cap)
     i32 = ctypes.POINTER(ctypes.c_int32)
     w = lib.hm_bed_rows(name, pos.ctypes.data_as(i32),
@@ -292,19 +294,24 @@ def scan_bed6(data: bytes, skip_short: bool):
     pcov = np.empty(max_rows, np.int64)
     ncov = np.empty(max_rows, np.int64)
     chrid = np.empty(max_rows, np.int32)
-    max_names = 1 << 16
-    name_off = np.empty(max_names, np.int64)
-    name_len = np.empty(max_names, np.int32)
-    n_names = ctypes.c_int64(0)
     i64 = ctypes.POINTER(ctypes.c_int64)
     i32 = ctypes.POINTER(ctypes.c_int32)
-    n = lib.hm_scan_bed6(
-        _u8p(np.ascontiguousarray(buf)), len(buf), int(skip_short),
-        start.ctypes.data_as(i64), end.ctypes.data_as(i64),
-        pcov.ctypes.data_as(i64), ncov.ctypes.data_as(i64),
-        chrid.ctypes.data_as(i32),
-        name_off.ctypes.data_as(i64), name_len.ctypes.data_as(i32),
-        max_names, ctypes.byref(n_names))
+    # start with a 64 Ki name table; a failure could be a parse error OR the
+    # table overflowing (>64k chr runs, e.g. fragmented draft assemblies) --
+    # retry once with the true upper bound (one run per row) to distinguish
+    for max_names in ((1 << 16), max_rows):
+        name_off = np.empty(max_names, np.int64)
+        name_len = np.empty(max_names, np.int32)
+        n_names = ctypes.c_int64(0)
+        n = lib.hm_scan_bed6(
+            _u8p(np.ascontiguousarray(buf)), len(buf), int(skip_short),
+            start.ctypes.data_as(i64), end.ctypes.data_as(i64),
+            pcov.ctypes.data_as(i64), ncov.ctypes.data_as(i64),
+            chrid.ctypes.data_as(i32),
+            name_off.ctypes.data_as(i64), name_len.ctypes.data_as(i32),
+            max_names, ctypes.byref(n_names))
+        if n >= 0 or max_rows <= max_names:
+            break
     if n < 0:
         off = -(n + 1)
         line = data[off:data.find(b"\n", off) if data.find(b"\n", off) >= 0

@@ -171,10 +171,12 @@ def run_cov2bed(reference_path: str, context: str, bismark_path: str,
     lib_ok = native.available() and \
         getattr(native._load(), "hm_scan_bed6", None) and \
         getattr(native._load(), "hm_bed_rows7", None)
+    raw_data: bytes | None = None
     if lib_ok:
         from ..utils.lines import read_bytes
+        raw_data = read_bytes(bismark_path)
         names, chrid, start, end, pcov, ncov = native.scan_bed6(
-            read_bytes(bismark_path), skip_short=False)
+            raw_data, skip_short=False)
         if np.any(end != start):
             i = int(np.flatnonzero(end != start)[0])
             out.close()
@@ -195,8 +197,16 @@ def run_cov2bed(reference_path: str, context: str, bismark_path: str,
     acc: _ChrAccum | None = None
     last_sid = -1
     fs = rs = 0
-    from ..utils.lines import open_text
-    with open_text(bismark_path) as f:
+    import contextlib
+    if raw_data is not None:
+        # the native path already consumed the source (possibly stdin);
+        # iterate the bytes we hold instead of reopening the path
+        f_ctx = contextlib.nullcontext(
+            line + "\n" for line in raw_data.decode().splitlines())
+    else:
+        from ..utils.lines import open_text
+        f_ctx = open_text(bismark_path)
+    with f_ctx as f:
         for line in f:
             cols = line.rstrip("\n").split("\t")
             if len(cols) < 6:

@@ -192,17 +192,22 @@ void hm_seq_unpack(const uint8_t* nibbles, int64_t l_seq, uint8_t* out) {
     if (i < l_seq) out[i] = kNibbleBase[nibbles[i >> 1] >> 4];
 }
 
-void hm_revcomp(const uint8_t* seq, int64_t len, uint8_t* out) {
-    static uint8_t comp[256];
-    static bool init = false;
-    if (!init) {
-        std::memset(comp, 'N', 256);
+// ctypes releases the GIL during calls, so table initialization must be
+// thread-safe: C++11 magic statics (constructor-run-once) instead of a
+// hand-rolled non-atomic `init` flag.
+struct CompTable {
+    uint8_t t[256];
+    CompTable() {
+        std::memset(t, 'N', 256);
         const char* a = "ACGTacgtNn";
         const char* b = "TGCATGCANN";
-        for (int i = 0; a[i]; ++i) comp[(uint8_t)a[i]] = (uint8_t)b[i];
-        init = true;
+        for (int i = 0; a[i]; ++i) t[(uint8_t)a[i]] = (uint8_t)b[i];
     }
-    for (int64_t i = 0; i < len; ++i) out[i] = comp[seq[len - 1 - i]];
+};
+
+void hm_revcomp(const uint8_t* seq, int64_t len, uint8_t* out) {
+    static const CompTable kComp;
+    for (int64_t i = 0; i < len; ++i) out[i] = kComp.t[seq[len - 1 - i]];
 }
 
 // Single-pass candidate-site scan over a native-forward ASCII read.
@@ -212,19 +217,23 @@ void hm_revcomp(const uint8_t* seq, int64_t len, uint8_t* out) {
 // and reverse [AGT][AGT]G hits at the G position i+2 (strand 1), in
 // position-sorted order.  Output buffers must hold `len` entries each;
 // counts are written to *n_cpg / *n_chg / *n_chh.
-void hm_scan_sites(const uint8_t* seq, int64_t len,
-                   int32_t* cpg, int64_t* n_cpg,
-                   int32_t* chg, int64_t* n_chg,
-                   int32_t* chh, uint8_t* chh_strand, int64_t* n_chh) {
-    static uint8_t isH[256], isD[256];  // H = A/C/T, D = A/G/T
-    static bool init = false;
-    if (!init) {
+struct HDTables {  // H = A/C/T, D = A/G/T (thread-safe magic-static init)
+    uint8_t isH[256], isD[256];
+    HDTables() {
         std::memset(isH, 0, 256);
         std::memset(isD, 0, 256);
         isH['A'] = isH['C'] = isH['T'] = 1;
         isD['A'] = isD['G'] = isD['T'] = 1;
-        init = true;
     }
+};
+
+void hm_scan_sites(const uint8_t* seq, int64_t len,
+                   int32_t* cpg, int64_t* n_cpg,
+                   int32_t* chg, int64_t* n_chg,
+                   int32_t* chh, uint8_t* chh_strand, int64_t* n_chh) {
+    static const HDTables kT;
+    const uint8_t* isH = kT.isH;
+    const uint8_t* isD = kT.isD;
     int64_t nc = 0, ng = 0, nh = 0;
     for (int64_t i = 0; i < len; ++i) {
         uint8_t b = seq[i];

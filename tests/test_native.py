@@ -163,3 +163,27 @@ def test_corr_native_matches_python(tmp_path):
     assert m1 == m2
     np.testing.assert_array_equal(k_nat, k_py)
     np.testing.assert_allclose(f_nat, f_py)
+
+
+def test_bed_rows_single_row():
+    """Regression (round-4 ADVICE): the output cap must satisfy the C
+    per-row guard (chr_len+128 headroom), so 1-row calls — any (chr,motif)
+    class with exactly one covered site — must not raise."""
+    b = native.bed_rows("chr1", np.array([5], np.int32),
+                        np.array([3], np.int32), np.array([4], np.int32))
+    assert b == b"chr1\t5\t6\t75\t3\t1\n"
+    b7 = native.bed_rows7("chr1", np.array([5], np.int32),
+                          np.array([3], np.int32), np.array([4], np.int32),
+                          np.array([0], np.uint8), ["CAG"])
+    assert b7 == b"chr1\t5\t6\t75\t3\t1\tCAG\n"
+
+
+def test_scan_bed6_many_chr_runs():
+    """Regression (round-4 ADVICE): >64Ki chr runs (fragmented assemblies)
+    must grow the name table instead of failing as 'corrupted'."""
+    n = (1 << 16) + 10
+    rows = b"".join(b"ctg%d\t1\t2\t100\t1\t0\n" % i for i in range(n))
+    names, chrid, start, end, pcov, ncov = native.scan_bed6(rows, False)
+    assert len(names) == n
+    assert names[0] == "ctg0" and names[-1] == "ctg%d" % (n - 1)
+    np.testing.assert_array_equal(chrid, np.arange(n))

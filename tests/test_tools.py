@@ -211,3 +211,27 @@ def test_cov2bed_vectorized_matches_loop(tmp_path):
         finally:
             native._LIB = orig
         assert a.read_bytes() == b.read_bytes(), ctx
+
+
+def test_cov2bed_stdin_unsorted_fallback(tmp_path, monkeypatch):
+    """Regression (round-4 ADVICE): with bismark_path='-' and unsorted rows,
+    the row-loop fallback must reuse the bytes the native path already read
+    from stdin instead of reopening the exhausted stream."""
+    import io as _io
+    import sys
+    genome = "ACGGATCGAA"
+    fa = tmp_path / "r.fa"
+    _write_fasta(fa, {"c1": genome})
+    # deliberately NOT position-sorted -> native fast path rejects, falls back
+    rows = ("c1\t8\t8\t0.0\t5\t5\n"
+            "c1\t2\t2\t0.0\t7\t3\n"
+            "c1\t3\t3\t0.0\t2\t8\n")
+    monkeypatch.setattr(sys, "stdin", _io.TextIOWrapper(
+        _io.BytesIO(rows.encode()), encoding="utf-8"))
+    out = tmp_path / "o.bed"
+    run_cov2bed(str(fa), "CpG", "-", str(out))
+    lines = out.read_text().splitlines()
+    assert lines == [
+        "c1\t1\t2\t45\t9\t11\tCG",
+        "c1\t6\t7\t50\t5\t5\tCG",
+    ]
