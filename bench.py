@@ -20,18 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_SITES_PER_SEC = 1.7e5
 
+#: base composition profiles for synthetic reads (A, C, G, T probabilities).
+#: "plant" matches the baseline derivation: GC ~= 0.36 gives ~0.30 all-context
+#: candidate sites/bp (P(C) + P(G)*P(not-C)^2 = 0.18 + 0.18*0.82^2), the
+#: density assumed for the reference's 2 h / 48-thread Arabidopsis figure
+#: (README.md:31).  "uniform" (rounds 1-3) lands at ~0.39 sites/bp.
+PROFILES = {
+    "plant": (0.32, 0.18, 0.18, 0.32),
+    "uniform": (0.25, 0.25, 0.25, 0.25),
+}
 
-def make_synthetic_bam(path, n_reads, read_len, seed=0):
+
+def make_synthetic_bam(path, n_reads, read_len, seed=0, profile="uniform"):
     import numpy as np
     from hifimeth_tpu.io.bam import BamHeader, BamRecord, BamWriter
 
     rng = np.random.default_rng(seed)
     hdr = BamHeader("@HD\tVN:1.6\tSO:unknown\n", [])
-    total_sites = 0
     with BamWriter(path, hdr, threads=8, level=1) as w:
         for i in range(n_reads):
             rec = BamRecord(qname=f"m/{i}/ccs", flag=4)
-            seq = rng.choice(list(b"ACGT"), read_len).astype(np.uint8)
+            seq = rng.choice(list(b"ACGT"), read_len,
+                             p=PROFILES[profile]).astype(np.uint8)
             rec.set_seq(seq, qual=np.full(read_len, 40, np.uint8))
             for tag in ("fi", "ri", "fp", "rp"):
                 rec.set_tag(tag, "B", ("C", rng.integers(0, 256, read_len).astype(np.uint8)))
@@ -95,6 +105,136 @@ def count_sites(bam_path):
     return total
 
 
+#: MXU peak per chip in TFLOP/s.  bf16 figures; f32 matmuls/convs at JAX's
+#: DEFAULT precision also execute as single-pass bf16 multiplies on the MXU
+#: (f32 accumulate), so the same peak applies to this pipeline's f32 mode.
+PEAK_TFLOPS_BY_KIND = {
+    "v6e": 918.0, "v6 lite": 918.0,
+    "v5e": 394.0 / 2, "v5 lite": 197.0, "v5lite": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+}
+
+
+def peak_tflops():
+    """(peak TFLOP/s, device kind) for the live backend; override with
+    HIFIMETH_PEAK_TFLOPS.  Unknown kinds assume v5e-class (197)."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    env = os.environ.get("HIFIMETH_PEAK_TFLOPS")
+    if env:
+        return float(env), kind
+    kl = kind.lower()
+    for key, v in PEAK_TFLOPS_BY_KIND.items():
+        if key in kl:
+            return v, kind
+    return 197.0, kind
+
+
+def model_flops_per_site(model_dir=None):
+    """Exact FLOPs (2*MACs) of one DNAModNet forward per candidate site,
+    derived from the imported weights (geometry from conv_spec; the shipped
+    models use ks1=11, reference training/model_cnn.py:8-85 says 13 - the
+    weights win).  All three contexts share geometry, so CpG stands in."""
+    from hifimeth_tpu.engine.call import default_model_dir
+    from hifimeth_tpu.model.cnn import conv_spec, load_params_npz
+
+    md = model_dir or default_model_dir()
+    params = load_params_npz(os.path.join(md, "CpG.npz"))
+    kmer_path = os.path.join(md, "kmer.txt")
+    L = 401
+    if os.path.exists(kmer_path):
+        with open(kmer_path) as f:
+            L = int(f.read().strip())
+    flops = 0
+    for c, (stride, lo, hi) in zip(params["convs"], conv_spec(params)):
+        K, cin, cout = c["w"].shape
+        Lo = (L + lo + hi - K) // stride + 1
+        flops += 2 * Lo * cout * K * cin
+        L = Lo
+    for k in ("fc1", "fc2"):
+        w = params[k]["w"]
+        flops += 2 * w.shape[0] * w.shape[1]
+    return flops
+
+
+def measure_device_tflops(cfg, flops_per_site, ctx="CpG"):
+    """Device-stream throughput of the EXACT production per-chunk program
+    (same statics/shapes as the e2e bench, reusing its compiled programs):
+    time nb=1 vs nb=8 chunks back-to-back and difference out the fixed
+    dispatch cost, the same protocol as scripts/microbench_call.py.  Returns
+    {} on non-pallas paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hifimeth_tpu.engine.call import CallEngine
+    from hifimeth_tpu.features.windows import (call_sites_pallas,
+                                               featurize_planes_t_seg)
+    from hifimeth_tpu.ops.gather import CHUNK_LANES, plan_groups
+
+    if jax.default_backend() == "cpu":
+        return {}               # pallas interpreter: not a device measurement
+    eng = CallEngine(cfg)
+    if eng.cfg.gather_impl != "pallas":
+        return {}
+    cap = eng.cfg.buffer_bases
+    kmer = eng.models.kmer
+    G, BL = eng.GROUP, eng.BLOCK_LANES
+    ngrp = eng.cfg.site_batch // G
+    rng = np.random.default_rng(3)
+    planes = np.zeros((5, cap), np.uint8)
+    planes[0].fill(255)
+    lo, hi = kmer, cap - kmer
+    planes[0, lo:hi] = rng.integers(0, 4, hi - lo)
+    planes[1:, lo:hi] = rng.integers(0, 256, (4, hi - lo))
+    seg = cap // eng.H2D_SEGMENTS
+    segments = tuple(jnp.asarray(np.ascontiguousarray(planes[:, a:a + seg]))
+                     for a in range(0, cap, seg))
+    feats_t = featurize_planes_t_seg(segments, cap=cap)
+    np.asarray(jax.jit(jnp.sum)(feats_t))
+
+    def make_chunk(nb):
+        n = nb * eng.cfg.site_batch
+        span = min(int(n * 3.3), hi - lo)       # ~0.30 sites/bp spacing
+        centers = np.sort(lo + rng.integers(0, span, n)).astype(np.int32)
+        hk = kmer // 2
+        bases, rels, _ = plan_groups((centers - hk).astype(np.int32), G, BL,
+                                     kmer, cap, extent=CHUNK_LANES + 127)
+        b128 = (bases // 128) * 128
+        rels = rels + (bases - b128)[:, None]
+        pad_g = nb * ngrp - len(bases)
+        if pad_g > 0:
+            b128 = np.concatenate([b128, np.zeros(pad_g, np.int32)])
+            rels = np.concatenate([rels, np.zeros((pad_g, G), np.int32)])
+        return (jnp.asarray(b128[:nb * ngrp].reshape(nb, ngrp)),
+                jnp.asarray(rels[:nb * ngrp].reshape(nb, ngrp, G)))
+
+    kw = dict(kmer_size=kmer, compute_dtype=eng.compute_dtype,
+              spec=eng.models.specs[ctx], conv_impl=eng.cfg.conv_impl,
+              group=G, block_lanes=BL,
+              interpret=jax.default_backend() == "cpu")
+    params = eng.models.params[ctx]
+    times = {}
+    for nb in (1, 8):
+        b, r = make_chunk(nb)
+        np.asarray(call_sites_pallas(params, feats_t, b, r, False, **kw))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(call_sites_pallas(params, feats_t, b, r, False, **kw))
+            best = min(best, time.perf_counter() - t0)
+        times[nb] = best
+    per_batch = (times[8] - times[1]) / 7
+    if per_batch <= 0:          # tunnel jitter swamped the difference
+        return {"device_probe": "unstable"}
+    dev_rate = cfg.site_batch / per_batch
+    return {
+        "device_ms_per_batch": round(per_batch * 1e3, 2),
+        "device_sites_per_sec": round(dev_rate),
+        "device_tflops": round(dev_rate * flops_per_site / 1e12, 1),
+    }
+
+
 def run_selfcheck(site_batch=16384):
     """On-hardware parity gates, run on whatever backend is live (the TPU
     during driver benches).  The reference's analog is its pervasive
@@ -151,6 +291,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200)
     ap.add_argument("--read-len", type=int, default=15000)
+    ap.add_argument("--profile", default="plant", choices=sorted(PROFILES),
+                    help="synthetic-read base composition (plant: ~0.30 "
+                         "sites/bp, matching the baseline derivation)")
     ap.add_argument("--dtype", default="f32", choices=["bf16", "f32"])
     ap.add_argument("--site-batch", type=int, default=8192)
     ap.add_argument("--flush-bases", type=int, default=0,
@@ -165,6 +308,8 @@ def main():
     ap.add_argument("--selfcheck", action="store_true",
                     help="run only the on-hardware parity gates (strict)")
     ap.add_argument("--skip-selfcheck", action="store_true")
+    ap.add_argument("--skip-mfu", action="store_true",
+                    help="skip the device-stream roofline probe")
     args = ap.parse_args()
     dtype = "bfloat16" if args.dtype == "bf16" else "float32"
 
@@ -179,9 +324,10 @@ def main():
 
     with tempfile.TemporaryDirectory() as td:
         bam = os.path.join(td, "bench.bam")
-        print(f"[bench] generating {args.reads} x {args.read_len} bp reads...",
-              file=sys.stderr)
-        make_synthetic_bam(bam, args.reads, args.read_len)
+        print(f"[bench] generating {args.reads} x {args.read_len} bp reads "
+              f"({args.profile} profile)...", file=sys.stderr)
+        make_synthetic_bam(bam, args.reads, args.read_len,
+                           profile=args.profile)
         n_sites = count_sites(bam)
         out_bam = os.path.join(td, "out.bam")
 
@@ -200,6 +346,19 @@ def main():
             t0 = time.time()
             stats = run_call(bam, out_bam, cfg)
             dt = min(dt, time.time() - t0)
+
+        # -- roofline: achieved FLOP/s vs MXU peak (exact per-site FLOPs from
+        # the imported weights; device-stream probe reuses the e2e programs)
+        fps = model_flops_per_site(cfg.model_dir or None)
+        peak, kind = peak_tflops()
+        mfu = {}
+        if not args.skip_mfu:
+            try:
+                mfu = measure_device_tflops(cfg, fps)
+            except Exception as e:  # noqa: BLE001 - probe must not fail bench
+                mfu = {"device_probe": f"FAILED: {e}"}
+            if "device_tflops" in mfu:
+                mfu["device_mfu"] = round(mfu["device_tflops"] / peak, 4)
 
     # -- pileup leg (reference speed protocol measures pileup wall too,
     # README.md:121-126) -----------------------------------------------------
@@ -247,11 +406,25 @@ def main():
     bases = args.reads * args.read_len
     print(f"[bench] e2e: {n_sites:,} sites, {bases / dt / 1e6:.1f} Mbases/s, "
           f"{dt:.2f} s", file=sys.stderr)
+    print(f"[bench] roofline: {fps / 1e6:.1f} MFLOP/site, e2e "
+          f"{rate * fps / 1e12:.1f} TFLOP/s = {rate * fps / peak / 1e12:.1%} "
+          f"of {kind} peak {peak:.0f} TFLOP/s; device probe {mfu}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "call_sites_per_sec",
         "value": round(rate),
         "unit": "sites/s",
         "vs_baseline": round(rate / BASELINE_SITES_PER_SEC, 3),
+        "profile": args.profile,
+        "sites_per_bp": round(n_sites / bases, 4),
+        "reads_per_sec": round(args.reads / dt, 1),
+        "mbases_per_sec": round(bases / dt / 1e6, 1),
+        "model_mflops_per_site": round(fps / 1e6, 2),
+        "achieved_tflops": round(rate * fps / 1e12, 2),
+        "mfu": round(rate * fps / (peak * 1e12), 4),
+        "peak_tflops_assumed": peak,
+        "device_kind": kind,
+        **mfu,
         **pileup,
         **sc,
     }))
