@@ -86,6 +86,17 @@ class CallConfig:
     io_threads: int = 8                  # BGZF codec pool; the reference
                                          # fixes its htslib IO pool at 8
                                          # threads (sam_batch.hpp:19)
+    decode_workers: int = -1             # threads running decode_read +
+                                         # scan_all ahead of the packer
+                                         # (-1 auto: cores-1 capped at 4,
+                                         # min 1; 0 = inline).  The
+                                         # reference analog: its N worker
+                                         # threads each do ALL per-read
+                                         # host work concurrently
+                                         # (sam_batch.hpp:38-54); here the
+                                         # device calls sites, so only
+                                         # decode/site-scan moves off the
+                                         # main packing thread
     async_emit: bool = True              # resolve/emit flush N in a worker
                                          # thread while the main thread
                                          # decodes/packs N+1 (needs a record
@@ -96,6 +107,111 @@ class CallConfig:
 
     def resolve_model_dir(self) -> str:
         return self.model_dir or default_model_dir()
+
+
+#: sentinel for add_read's `decoded` argument ("compute inline")
+_UNSET = object()
+
+
+class _DecodePrefetcher:
+    """Runs decode_read + scan_all for upcoming records on worker thread(s),
+    preserving input order, so the main thread only packs planes and
+    dispatches device work.
+
+    The reference never lets per-read host work serialize: its N worker
+    threads each pull from one locked reader and do decode + feature
+    extraction concurrently (sam_batch.hpp:38-54, mod_main.cpp:145-262).
+    Here inference lives on the TPU, so the host-side analog is exactly the
+    decode + site-scan (numpy + native code that drops the GIL) running
+    ahead of the packer.  A feeder thread drains the BAM stream; `workers`
+    decode threads tag results with the input index; the consuming iterator
+    reorders via a dict, so output order always equals input order (the
+    ordered-stream contract, mod_main.cpp:352-362).
+
+    Yields (rec, decoded) pairs for CallEngine.add_read(rec, out, decoded).
+    Worker decode/sites time is accumulated in t_decode/t_sites (overlapped
+    with the main thread - add to engine timers at end of run for the
+    attribution logs).
+    """
+
+    _DONE = object()
+
+    def __init__(self, stream, min_read_size: int, workers: int = 1,
+                 depth: int = 64):
+        import queue
+        import threading
+        self.min_read_size = min_read_size
+        self.workers = max(1, workers)
+        self.t_decode = 0.0
+        self.t_sites = 0.0
+        self._exc = None
+        self._inq = queue.Queue(maxsize=depth)
+        self._outq = queue.Queue(maxsize=depth + self.workers + 2)
+        self._threads = [
+            threading.Thread(target=self._feeder, args=(stream,),
+                             name="hifimeth-feed", daemon=True)]
+        self._threads += [
+            threading.Thread(target=self._worker, name=f"hifimeth-decode{i}",
+                             daemon=True)
+            for i in range(self.workers)]
+        for t in self._threads:
+            t.start()
+
+    def _feeder(self, stream):
+        try:
+            for i, (_read_id, rec) in enumerate(stream):
+                self._inq.put((i, rec))
+        except BaseException as e:  # noqa: BLE001 - re-raised on main
+            self._exc = e
+        finally:
+            for _ in range(self.workers):
+                self._inq.put(self._DONE)
+
+    def _worker(self):
+        t_dec = t_sit = 0.0
+        try:
+            while True:
+                item = self._inq.get()
+                if item is self._DONE:
+                    break
+                i, rec = item
+                read = found = None
+                if rec.l_seq >= self.min_read_size:
+                    t0 = time.perf_counter()
+                    read = decode_read(rec)
+                    t1 = time.perf_counter()
+                    t_dec += t1 - t0
+                    if read is not None:
+                        found = sitefind.scan_all(read.seq)
+                        t_sit += time.perf_counter() - t1
+                self._outq.put((i, rec, (read, found)))
+        except BaseException as e:  # noqa: BLE001 - re-raised on main
+            self._exc = e
+        finally:
+            # float += under the GIL per-thread-exit: no finer sync needed
+            self.t_decode += t_dec
+            self.t_sites += t_sit
+            self._outq.put(self._DONE)
+
+    def __iter__(self):
+        done = 0
+        nxt = 0
+        held: dict = {}
+        while done < self.workers or held:
+            if self._exc is not None:
+                raise self._exc
+            if done < self.workers:
+                item = self._outq.get()
+                if item is self._DONE:
+                    done += 1
+                    continue
+                i, rec, decoded = item
+                held[i] = (rec, decoded)
+            while nxt in held:
+                yield held.pop(nxt)
+                nxt += 1
+        if self._exc is not None:
+            raise self._exc
 
 
 @dataclass
@@ -261,16 +377,24 @@ class CallEngine:
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
                        for ctx in self.cfg.contexts}
 
-    def add_read(self, rec: BamRecord, out: list):
-        """Queue one record; `out` receives (rec, results-ready) in order."""
+    def add_read(self, rec: BamRecord, out: list, decoded=_UNSET):
+        """Queue one record; `out` receives (rec, results-ready) in order.
+
+        `decoded` optionally carries a (DecodedRead|None, scan_all-result|None)
+        pair precomputed by a _DecodePrefetcher worker; by default both are
+        computed inline here."""
         self.stats["reads"] += 1
         self.stats["bases"] += rec.l_seq
         if rec.l_seq < self.cfg.min_read_size:
             self._pending.append(_PendingRead(rec))
             return
-        t0 = time.perf_counter()
-        read = decode_read(rec)
-        self.timers["decode"] += time.perf_counter() - t0
+        if decoded is _UNSET:
+            t0 = time.perf_counter()
+            read = decode_read(rec)
+            self.timers["decode"] += time.perf_counter() - t0
+            found = None
+        else:
+            read, found = decoded
         if read is None:
             self._pending.append(_PendingRead(rec))
             return
@@ -304,7 +428,8 @@ class CallEngine:
         t0 = time.perf_counter()
         pend = _PendingRead(rec, fwd_seq=read.seq)
         # one pass over the read for all contexts (native scanner when built)
-        found = sitefind.scan_all(read.seq)
+        if found is None:
+            found = sitefind.scan_all(read.seq)
         for ctx in self.cfg.contexts:
             offs, strands = found[ctx]
             s = self._sites[ctx]
@@ -731,6 +856,20 @@ class CallEngine:
         self.timers["mmbuild"] += time.perf_counter() - t0
 
 
+def _print_stats(title: str, contexts, s: dict) -> None:
+    """Reference-format stats block (mod_main.cpp:364-407): reads, datasize
+    bases, then per-context comma-formatted sample counts (nonzero only)."""
+    import sys
+    print(title, file=sys.stderr)
+    print(f"  ## Reads: {s['reads']}", file=sys.stderr)
+    print(f"  ## Bases: {bytes_to_datasize(s['bases'])}", file=sys.stderr)
+    for ctx in contexts:
+        if s.get(ctx):
+            print(f"  ## {ctx} samples: {format_with_commas(s[ctx])}",
+                  file=sys.stderr)
+    sys.stderr.flush()
+
+
 def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
              cmdline: str = "hifimeth-tpu call", shard=None) -> dict:
     """End-to-end `call`: returns the stats dict.
@@ -751,38 +890,52 @@ def run_call(in_bam: str, out_bam: str, cfg: CallConfig,
     # MM/ML tags and writes records while this thread decodes the next flush
     engine.sink = writer.write
 
+    stream = sharded_read_stream(reader, shard)
+    nw = cfg.decode_workers
+    if nw < 0:
+        from ..utils.system import physical_core_count
+        nw = min(4, max(1, physical_core_count() - 1))
+    if nw > 0:
+        prefetch = _DecodePrefetcher(stream, cfg.min_read_size, workers=nw)
+        pairs = iter(prefetch)
+    else:
+        prefetch = None
+        pairs = ((rec, _UNSET) for _read_id, rec in stream)
+
     done: list[BamRecord] = []
-    batch_idx = 0
     next_log = cfg.read_batch_size
-    for _read_id, rec in sharded_read_stream(reader, shard):
-        engine.add_read(rec, done)
+    batch_snap = dict(engine.stats)
+    for rec, decoded in pairs:
+        engine.add_read(rec, done, decoded=decoded)
         if engine.stats["reads"] >= next_log:
+            # per-batch stats in the reference's format (mod_main.cpp:364-379;
+            # counters here are at sample-extraction time, matching its
+            # per-batch tallies)
+            _print_stats("######## Batch stats:", cfg.contexts,
+                         {k: engine.stats[k] - batch_snap[k]
+                          for k in engine.stats})
+            batch_snap = dict(engine.stats)
             log("%10d reads processed", engine.stats["reads"])
             next_log += cfg.read_batch_size
         if done:
             for r in done:
                 writer.write(r)
             done.clear()
-            batch_idx += 1
     engine.finalize(done)
+    if prefetch is not None:
+        # worker time overlapped the main thread; fold into the attribution
+        # timers so decode/sites cost stays visible in the logs
+        engine.timers["decode"] += prefetch.t_decode
+        engine.timers["sites"] += prefetch.t_sites
     for r in done:
         writer.write(r)
     writer.close()
     reader.close()
 
-    import sys
-
     s = engine.stats
     engine.log_timers()
     log("Done.")
-    print("******** Final stats:", file=sys.stderr)
-    print(f"  ## Reads: {s['reads']}", file=sys.stderr)
-    print(f"  ## Bases: {bytes_to_datasize(s['bases'])}", file=sys.stderr)
-    for ctx in cfg.contexts:
-        if s[ctx]:
-            print(f"  ## {ctx} samples: {format_with_commas(s[ctx])}",
-                  file=sys.stderr)
-    sys.stderr.flush()
+    _print_stats("******** Final stats:", cfg.contexts, s)
     if cfg.stats_json:
         import json
         with open(cfg.stats_json, "w") as f:

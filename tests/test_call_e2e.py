@@ -209,3 +209,55 @@ def test_flush_bases_smaller_than_read(tmp_path):
                       bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
                      for r in BamReader(str(out))]
     assert outs["fine"] == outs["cap"] and len(outs["fine"]) == 4
+
+
+def test_decode_prefetcher_order_and_parity(tmp_path):
+    """The decode prefetcher (round-4: decode_read + scan_all on worker
+    threads, sam_batch.hpp:38-54 analog) must preserve input order and
+    produce records identical to the inline decode path, across mixed
+    passthrough (short / no-kinetics) and called reads and multiple
+    workers."""
+    rng = np.random.default_rng(21)
+    recs = []
+    for i in range(30):
+        ln = int(rng.integers(900, 2600))
+        recs.append(make_kinetics_read(rng, f"r{i}", ln))
+    nokin = make_kinetics_read(rng, "r_nokin", 1500)
+    for tag in ("fi", "ri", "fp", "rp"):
+        nokin.del_tag(tag)
+    recs.insert(7, nokin)
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    outs = {}
+    for tag, nw in (("inline", 0), ("w1", 1), ("w3", 3)):
+        out = tmp_path / f"{tag}.bam"
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 13, site_batch=128,
+                            gather_impl="pallas", decode_workers=nw))
+        outs[tag] = [
+            (r.qname, r.get_tag("MM"), None if r.get_tag("ML") is None
+             else bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+            for r in BamReader(str(out))]
+    assert [q for q, _, _ in outs["w3"]] == [r.qname for r in recs]
+    assert outs["inline"] == outs["w1"] == outs["w3"]
+    # the no-kinetics read passed through unannotated
+    row = outs["w3"][7]
+    assert row[0] == "r_nokin" and row[1] is None
+
+
+def test_batch_stats_logged(tmp_path, capfd):
+    """Per-batch stats lines in the reference's format
+    (mod_main.cpp:364-379) appear once per read_batch_size reads."""
+    rng = np.random.default_rng(22)
+    recs = [make_kinetics_read(rng, f"r{i}", 1100) for i in range(9)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    run_call(str(in_bam), str(tmp_path / "out.bam"),
+             CallConfig(contexts=("CpG",), read_batch_size=4,
+                        site_batch=128))
+    err = capfd.readouterr().err
+    assert err.count("######## Batch stats:") == 2
+    assert err.count("  ## Reads: 4") >= 2
+    assert "******** Final stats:" in err
+    assert "  ## Reads: 9" in err
