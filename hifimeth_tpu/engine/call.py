@@ -322,7 +322,11 @@ class CallEngine:
         #: queue, one worker, records sunk in flush order.  Without a sink
         #: (library/list API) emit stays synchronous.
         self.sink = None
+        self._dispatch_q = None
+        self._resolve_q = None
         self._emit_q = None
+        self._dispatch_thread = None
+        self._resolve_thread = None
         self._emit_thread = None
         self._emit_exc = None
         self.stats = {ctx: 0 for ctx in cfg.contexts}
@@ -666,14 +670,50 @@ class CallEngine:
             o += k
         return n, probs_parts
 
+    def _dispatch_work(self, work):
+        """Device-touching half of a flush: featurize the packed payload and
+        dispatch every context's site batches.  `work` is
+        (payload_kind, payload, sites) snapshotted by flush(); returns the
+        futures dict.  Runs on the dispatch worker in async mode."""
+        kind, payload, sites = work
+        t_h2d = time.perf_counter()
+        if kind == "pallas":
+            feats = featurize_planes_t_seg(payload,
+                                           cap=self.cfg.buffer_bases)
+        else:
+            planes_dev = jnp.asarray(payload)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicated
+                planes_dev = jax.device_put(payload, replicated(self.mesh))
+            if self.cfg.gather_impl == "folded" and self.mesh is None:
+                feats = featurize_planes_folded(planes_dev)
+            else:
+                feats = featurize_planes(planes_dev,
+                                         out_channels=self.cfg.feat_channels)
+        self.timers["d_h2d"] += time.perf_counter() - t_h2d
+        # dispatch all contexts (async); D2H resolution happens on the
+        # resolve side of the pipeline
+        futures = {ctx: self._call_context(ctx, feats, sites[ctx])
+                   for ctx in self.cfg.contexts}
+        # NOTE: do NOT request result copies here to "kick" the remote
+        # queue - copy_to_host_async on still-queued results hangs the
+        # axon tunnel (observed: a warm bench stalling >20 min).  The
+        # copies are batched at _resolve time instead.
+        return futures
+
     def flush(self, out: list):
-        """Dispatch the packed buffer to the device (async), then resolve and
-        emit the PREVIOUS in-flight flush - so the host decodes/packs flush
-        N+1 while the device computes flush N.  Call finalize() at EOF."""
+        """Snapshot the packed buffer and hand it down the pipeline.
+
+        Async mode (sink set): the snapshot goes to the dispatch worker
+        (featurize + plan + enqueue), whose output flows to the resolve
+        worker (D2H wait) and then the emit worker (MM/ML build + write) -
+        a 4-stage pipeline (pack | dispatch | resolve | emit) so the main
+        thread's only per-flush cost is the snapshot + the final segment
+        ship.  Sync mode keeps the round-3 behavior: dispatch inline, keep
+        one flush in flight, resolve it when the next flush lands."""
         t0 = time.perf_counter()
-        futures = None
+        work = None
         if self._fill > self._margin:
-            t_h2d = time.perf_counter()
             if self.cfg.gather_impl == "pallas":
                 # ship whatever segments the block DMAs can touch (windows
                 # read up to BLOCK_LANES past the last packed base); most of
@@ -682,73 +722,110 @@ class CallEngine:
                 need = min(self.cfg.buffer_bases,
                            self._fill + self.BLOCK_LANES + 128)
                 self._ship_segments(-(-need // self._seg_size))
-                feats = featurize_planes_t_seg(tuple(self._segments),
-                                               cap=self.cfg.buffer_bases)
+                work = ("pallas", tuple(self._segments), self._sites)
             else:
-                planes_dev = jnp.asarray(self._planes)
-                if self.mesh is not None:
-                    from ..parallel.mesh import replicated
-                    planes_dev = jax.device_put(self._planes,
-                                                replicated(self.mesh))
-                if self.cfg.gather_impl == "folded" and self.mesh is None:
-                    feats = featurize_planes_folded(planes_dev)
-                else:
-                    feats = featurize_planes(planes_dev,
-                                             out_channels=self.cfg.feat_channels)
-            self.timers["d_h2d"] += time.perf_counter() - t_h2d
-            # dispatch all contexts (async); D2H resolution happens when the
-            # NEXT flush lands (or at finalize)
-            futures = {ctx: self._call_context(ctx, feats, self._sites[ctx])
-                       for ctx in self.cfg.contexts}
-            # NOTE: do NOT request result copies here to "kick" the remote
-            # queue - copy_to_host_async on still-queued results hangs the
-            # axon tunnel (observed: a warm bench stalling >20 min).  The
-            # copies are batched at _emit time instead.
-        current = (self._pending, futures)
-        self.timers["device_dispatch"] += time.perf_counter() - t0
+                work = ("planes", self._planes, self._sites)
+        pending = self._pending
+        self._reset_buffer()
 
+        if self._async_active():
+            self._ensure_pipeline()
+            self._check_exc()
+            self._dispatch_q.put((pending, work))
+            self.timers["device_dispatch"] += time.perf_counter() - t0
+            return
+
+        futures = self._dispatch_work(work) if work is not None else None
+        current = (pending, futures)
+        self.timers["device_dispatch"] += time.perf_counter() - t0
         prev = getattr(self, "_inflight", None)
         self._inflight = current
-        self._reset_buffer()
         if prev is not None:
-            self._hand_off(prev, out)
+            self._emit(prev, out)
 
-    # -- async emit ----------------------------------------------------------
-    def _emit_async_active(self) -> bool:
+    # -- async pipeline ------------------------------------------------------
+    def _async_active(self) -> bool:
         return self.cfg.async_emit and self.sink is not None
 
-    def _check_emit_exc(self):
+    def _check_exc(self):
         if self._emit_exc is not None:
             exc, self._emit_exc = self._emit_exc, None
             raise exc
 
-    def _hand_off(self, inflight, out: list):
-        """Route one finished flush to the emit worker (async) or resolve it
-        inline (sync list API)."""
-        if not self._emit_async_active():
-            self._emit(inflight, out)
+    # backwards-compat alias (round-3 name, used by docs)
+    _emit_async_active = _async_active
+    _check_emit_exc = _check_exc
+
+    def _ensure_pipeline(self):
+        if self._emit_thread is not None:
             return
-        if self._emit_thread is None:
-            import queue
-            import threading
-            # maxsize bounds live flushes to 3 (packing + queued + emitting);
-            # put() backpressure replaces the old synchronous emit stall
-            self._emit_q = queue.Queue(maxsize=2)
-            self._emit_thread = threading.Thread(
-                target=self._emit_worker, name="hifimeth-emit", daemon=True)
-            self._emit_thread.start()
-        self._check_emit_exc()
-        self._emit_q.put(inflight)
+        import queue
+        import threading
+        # maxsize 2 per stage bounds live flushes to ~7 across the pipeline;
+        # put() backpressure replaces the old synchronous emit stall
+        self._dispatch_q = queue.Queue(maxsize=2)
+        self._resolve_q = queue.Queue(maxsize=2)
+        self._emit_q = queue.Queue(maxsize=2)
+        self._dispatch_thread = threading.Thread(
+            target=self._dispatch_worker, name="hifimeth-dispatch",
+            daemon=True)
+        self._resolve_thread = threading.Thread(
+            target=self._resolve_worker, name="hifimeth-resolve", daemon=True)
+        self._emit_thread = threading.Thread(
+            target=self._emit_worker, name="hifimeth-emit", daemon=True)
+        self._dispatch_thread.start()
+        self._resolve_thread.start()
+        self._emit_thread.start()
+
+    def _dispatch_worker(self):
+        """Stage 2: featurize + group-plan + enqueue device work."""
+        while True:
+            item = self._dispatch_q.get()
+            try:
+                if item is None:
+                    self._resolve_q.put(None)
+                    return
+                pending, work = item
+                futures = None
+                if self._emit_exc is None and work is not None:
+                    futures = self._dispatch_work(work)
+                self._resolve_q.put((pending, futures))
+            except BaseException as e:  # noqa: BLE001 - re-raised on main
+                self._emit_exc = e
+                self._resolve_q.put((item[0], None))
+            finally:
+                self._dispatch_q.task_done()
+
+    def _resolve_worker(self):
+        """Stage 3: wait for device results (batched D2H)."""
+        while True:
+            item = self._resolve_q.get()
+            try:
+                if item is None:
+                    self._emit_q.put(None)
+                    return
+                pending, futures = item
+                probs = None
+                if self._emit_exc is None:
+                    probs = self._resolve(futures)
+                self._emit_q.put((pending, probs))
+            except BaseException as e:  # noqa: BLE001 - re-raised on main
+                self._emit_exc = e
+                self._emit_q.put((item[0], None))
+            finally:
+                self._resolve_q.task_done()
 
     def _emit_worker(self):
+        """Stage 4: MM/ML build + ordered record sink."""
         while True:
             item = self._emit_q.get()
             try:
                 if item is None:
                     return
-                if self._emit_exc is None:
+                pending, probs = item
+                if self._emit_exc is None and probs is not None:
                     local: list = []
-                    self._emit(item, local)
+                    self._build_emit(pending, probs, local)
                     for rec in local:
                         self.sink(rec)
             except BaseException as e:  # noqa: BLE001 - re-raised on main
@@ -757,17 +834,22 @@ class CallEngine:
                 self._emit_q.task_done()
 
     def finalize(self, out: list):
-        """Flush any packed reads and drain both in-flight flushes."""
+        """Flush any packed reads and drain the pipeline."""
         self.flush(out)
-        prev = self._inflight
+        if self._emit_thread is not None:
+            self._dispatch_q.put(None)
+            self._dispatch_thread.join()
+            self._resolve_thread.join()
+            self._emit_thread.join()
+            self._dispatch_thread = None
+            self._resolve_thread = None
+            self._emit_thread = None
+            self._check_exc()
+            return
+        prev = getattr(self, "_inflight", None)
         self._inflight = None
         if prev is not None:
-            self._hand_off(prev, out)
-        if self._emit_thread is not None:
-            self._emit_q.put(None)
-            self._emit_thread.join()
-            self._emit_thread = None
-            self._check_emit_exc()
+            self._emit(prev, out)
 
     @staticmethod
     def _future_parts(f):
@@ -779,7 +861,13 @@ class CallEngine:
         return f if isinstance(f, list) else (f,)
 
     def _emit(self, inflight, out: list):
+        """Sync-path emit: resolve + build in one step (async mode splits
+        these across the resolve/emit pipeline stages)."""
         pending, futures = inflight
+        self._build_emit(pending, self._resolve(futures), out)
+
+    def _resolve(self, futures):
+        """Collect device results into host prob arrays (stage 3)."""
         t0 = time.perf_counter()
         # Start every chunk's D2H copy before blocking on any: through a
         # remote-device tunnel each np.asarray is a full round-trip, so
@@ -830,7 +918,10 @@ class CallEngine:
             else:
                 probs[ctx] = np.asarray(f)[:n]
         self.timers["device_wait"] += time.perf_counter() - t0
+        return probs
 
+    def _build_emit(self, pending, probs, out: list):
+        """MM/ML tag construction + ordered record emission (stage 4)."""
         t0 = time.perf_counter()
         for pend in pending:
             rec = pend.rec

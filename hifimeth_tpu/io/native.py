@@ -73,6 +73,18 @@ def _load():
         lib.hm_bed_rows = None
         lib.hm_scan_bed6 = None
         lib.hm_bed_rows7 = None
+    try:
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.hm_map_mod_sites.restype = c_i64
+        lib.hm_map_mod_sites.argtypes = [
+            u8p, c_i64, c_i32,            # query, qsize, qdir
+            u8p, c_i64, c_i64,            # chr_seq, chr_len, pos
+            u8p, i32p, c_i64,             # cigar ops, lens, n_cigar
+            u8p, u8p,                     # has_prob, prob_at
+            dp, dp,                       # pi, epi
+            i32p, u8p, u8p, c_i64]        # soff, prob, motif, cap
+    except AttributeError:  # stale .so from before round 4
+        lib.hm_map_mod_sites = None
     _LIB = lib
     return _LIB
 
@@ -320,6 +332,46 @@ def scan_bed6(data: bytes, skip_short: bool):
     names = [data[name_off[i]:name_off[i] + name_len[i]].decode()
              for i in range(n_names.value)]
     return names, chrid[:n], start[:n], end[:n], pcov[:n], ncov[:n]
+
+
+def map_mod_sites(query: np.ndarray, qdir: int, chr_seq: np.ndarray,
+                  pos: int, ops: np.ndarray, lens: np.ndarray,
+                  has_prob: np.ndarray, prob_at: np.ndarray):
+    """Pileup pass-1 kernel for one read: CIGAR expansion + identities +
+    alignment-exact motif mapping + spill assembly in one native call
+    (replicates quant/alignment.expand_alignment + quant/mapping.map_*).
+
+    Returns (pi, epi, soffs i32, probs u8, motifs u8) in spill emission
+    order, or None if the native library is unavailable or the alignment
+    walks out of bounds (caller falls back to the Python path)."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_map_mod_sites", None) is None:
+        return None
+    query = np.ascontiguousarray(query, np.uint8)
+    chr_seq = np.ascontiguousarray(chr_seq, np.uint8)
+    ops = np.ascontiguousarray(ops, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    has_prob = np.ascontiguousarray(has_prob, np.uint8)
+    prob_at = np.ascontiguousarray(prob_at, np.uint8)
+    cap = 4 * int(lens.sum()) + 8
+    soffs = np.empty(cap, np.int32)
+    probs = np.empty(cap, np.uint8)
+    motifs = np.empty(cap, np.uint8)
+    pi = ctypes.c_double(0.0)
+    epi = ctypes.c_double(0.0)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.hm_map_mod_sites(
+        _u8p(query), len(query), int(qdir),
+        _u8p(chr_seq), len(chr_seq), int(pos),
+        _u8p(ops), lens.ctypes.data_as(i32), len(ops),
+        _u8p(has_prob), _u8p(prob_at),
+        ctypes.byref(pi), ctypes.byref(epi),
+        soffs.ctypes.data_as(i32), _u8p(probs), _u8p(motifs), cap)
+    if n == -1:
+        raise ValueError("map_mod_sites: record buffer overflow")
+    if n < 0:
+        return None      # out-of-bounds alignment: Python path decides
+    return pi.value, epi.value, soffs[:n], probs[:n], motifs[:n]
 
 
 def encode_codev1(frames: np.ndarray):

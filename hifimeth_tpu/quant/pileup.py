@@ -193,7 +193,16 @@ class PileupSpill:
 
 
 def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
-    """Pass 1 over the shard's reads: histogram + genome mapping + spill."""
+    """Pass 1 over the shard's reads: histogram + genome mapping + spill.
+
+    The per-read expansion+mapping runs through the native single-call
+    kernel (bamcore hm_map_mod_sites) when built - the reference's pass 1
+    is likewise a tight C++ loop (pileup.cpp:208-353) - with the numpy
+    pipeline kept as the bit-identical fallback."""
+    from ..io import native
+    use_native = native.available() and \
+        getattr(native._load(), "hm_map_mod_sites", None) is not None
+
     n_reads = 0
     read_id = -1
     for rec in reader:
@@ -220,19 +229,42 @@ def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
 
         if rec.mapq < cfg.min_mapq:
             continue
+        if rec.is_unmapped:
+            continue
+
+        # read-position -> prob lookup for code 'm' mods (pileup.cpp:277-284)
+        has_prob = np.zeros(rec.l_seq, np.uint8)
+        prob_at = np.zeros(rec.l_seq, np.uint8)
+        m_mask = codes == ord("m")
+        has_prob[qoffs[m_mask]] = 1
+        prob_at[qoffs[m_mask]] = probs[m_mask]
+
+        res = None
+        if use_native:
+            sid = db.seq_name2id(hdr.tid2name(rec.refid))
+            ops, lens = rec.cigar_ops()
+            res = native.map_mod_sites(
+                rec.seq_ascii(), 1 if rec.is_reverse else 0,
+                db.seq_bases(sid), rec.pos, ops, lens, has_prob, prob_at)
+        if res is not None:
+            pi, _epi, soffs, sprobs, motifs = res
+            if pi < cfg.min_identity:
+                continue
+            if len(soffs):
+                recs = np.empty(len(soffs), SPILL_DTYPE)
+                recs["sid"] = sid
+                recs["soff"] = soffs
+                recs["prob"] = sprobs
+                recs["motif"] = motifs
+                spill.add(recs)
+            continue
+
         aln = expand_alignment(rec, db, hdr.tid2name(rec.refid))
         if aln is None:
             continue
         if aln.pi < cfg.min_identity:
             continue
-
-        # read-position -> prob lookup for code 'm' mods (pileup.cpp:277-284)
-        has_prob = np.zeros(rec.l_seq, bool)
-        prob_at = np.zeros(rec.l_seq, np.uint8)
-        m_mask = codes == ord("m")
-        has_prob[qoffs[m_mask]] = True
-        prob_at[qoffs[m_mask]] = probs[m_mask]
-
+        has_prob = has_prob.astype(bool)
         out_parts = []
         for motif, (mq, ms) in enumerate((
                 map_cpg_sites(aln), map_chg_sites(aln), map_chh_sites(aln))):

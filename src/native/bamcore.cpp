@@ -482,6 +482,163 @@ int64_t hm_scan_bed6(const uint8_t* buf, int64_t len, int32_t skip_short,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Pileup pass-1 kernel: CIGAR expansion + identity + alignment-exact motif
+// mapping + spill-record assembly for ONE read, replacing the per-read numpy
+// pipeline (quant/alignment.py expand_alignment + quant/mapping.py map_*).
+// Semantics replicated from the reference's per-column scans
+// (bam_info.cpp:262-439, pileup.cpp:292-347, 5mc_motif_finder.cpp:104-144),
+// including:
+//   - only a FIRST leading S op sets qb (H just skipped); S/H/P never emit
+//     columns (quant/alignment.py _EMIT)
+//   - identity pi = matches/cols; effective identity ignores gap runs >= 8
+//   - CpG/CHG call-at-C with the rev-CHG CGG column-i genome-position quirk
+//   - CHH fwd pass then rev pass (emission order), rev records at col+2
+//   - a record is emitted only when the native-forward offset has an 'm'
+//     mod (has_prob), with its prob (pileup.cpp:277-284)
+// Returns the number of spill records written to soff/prob/motif_out, or
+// -1 if cap would overflow, -2 if the alignment walks outside chr/query
+// bounds (caller falls back to the Python path, which raises identically).
+struct GapCls {     // H = A/C/T (fwd CHH inner), D = A/G/T (rev CHH inner)
+    uint8_t isH[256], isD[256];
+    GapCls() {
+        std::memset(isH, 0, 256);
+        std::memset(isD, 0, 256);
+        isH['A'] = isH['C'] = isH['T'] = 1;
+        isD['A'] = isD['G'] = isD['T'] = 1;
+    }
+};
+
+int64_t hm_map_mod_sites(const uint8_t* query, int64_t qsize, int32_t qdir,
+                         const uint8_t* chr_seq, int64_t chr_len, int64_t pos,
+                         const uint8_t* ops, const int32_t* lens,
+                         int64_t n_cigar,
+                         const uint8_t* has_prob, const uint8_t* prob_at,
+                         double* pi_out, double* epi_out,
+                         int32_t* soff_out, uint8_t* prob_out,
+                         uint8_t* motif_out, int64_t cap) {
+    static const GapCls kT;
+    enum { OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5,
+           OP_P = 6, OP_EQ = 7, OP_X = 8 };
+    const uint8_t GAP = '-';
+
+    int64_t qb = 0, start_op = 0;
+    if (n_cigar && ops[0] == OP_S) { qb = lens[0]; start_op = 1; }
+    else if (n_cigar && ops[0] == OP_H) { start_op = 1; }
+
+    int64_t n_cols = 0;
+    for (int64_t k = start_op; k < n_cigar; ++k) {
+        uint8_t op = ops[k];
+        if (op == OP_M || op == OP_I || op == OP_D || op == OP_N ||
+            op == OP_EQ || op == OP_X)
+            n_cols += lens[k];
+    }
+    std::vector<uint8_t> qas(n_cols), sas(n_cols);
+    std::vector<int64_t> qpos(n_cols), spos(n_cols);
+
+    int64_t qi = qb, si = pos, w = 0;
+    for (int64_t k = start_op; k < n_cigar; ++k) {
+        uint8_t op = ops[k];
+        int64_t L = lens[k];
+        bool cq = (op == OP_M || op == OP_I || op == OP_EQ || op == OP_X);
+        bool cs = (op == OP_M || op == OP_D || op == OP_N || op == OP_EQ ||
+                   op == OP_X);
+        if (!cq && !cs) continue;            // S/H/P: no columns
+        if (cq && qi + L > qsize) return -2;
+        if (cs && si + L > chr_len) return -2;
+        for (int64_t j = 0; j < L; ++j) {
+            qas[w] = cq ? query[qi] : GAP;
+            sas[w] = cs ? chr_seq[si] : GAP;
+            if (cq) ++qi;
+            qpos[w] = qi - 1;                // last consumed query offset
+            if (cs) ++si;
+            spos[w] = si - 1;
+            ++w;
+        }
+    }
+
+    // identities (bam_info.cpp:11-98 semantics via quant/alignment.py)
+    int64_t match = 0;
+    for (int64_t i = 0; i < n_cols; ++i) match += (qas[i] == sas[i]);
+    *pi_out = n_cols ? 100.0 * (double)match / (double)n_cols : 0.0;
+    int64_t eff_len = 0, eff_mat = 0;
+    for (int64_t i = 0; i < n_cols;) {
+        bool qg = qas[i] == GAP, sg = sas[i] == GAP;
+        if (!qg && !sg) {
+            eff_mat += (qas[i] == sas[i]);
+            ++eff_len;
+            ++i;
+            continue;
+        }
+        if (qg && sg) { ++i; continue; }
+        bool qside = qg;
+        int64_t j = i + 1;
+        while (j < n_cols) {
+            bool qgj = qas[j] == GAP, sgj = sas[j] == GAP;
+            if (qgj && sgj) { ++j; continue; }
+            if (qside ? qgj : sgj) { ++j; continue; }
+            break;
+        }
+        if (j - i < 8) {
+            for (int64_t k = i; k < j; ++k) {
+                bool qgk = qas[k] == GAP, sgk = sas[k] == GAP;
+                if (qgk && sgk) continue;
+                eff_mat += (qas[k] == sas[k]);
+                ++eff_len;
+            }
+        }
+        i = j;
+    }
+    *epi_out = eff_len ? 100.0 * (double)eff_mat / (double)eff_len : 0.0;
+
+    // motif passes, in spill emission order (CpG, CHG, CHH-fwd, CHH-rev)
+    int64_t n = 0;
+    auto emit = [&](int64_t qoff, int64_t soff, uint8_t motif) -> bool {
+        if (qoff < 0 || qoff >= qsize) return true;   // cannot happen on match
+        if (!has_prob[qoff]) return true;
+        if (n >= cap) return false;
+        soff_out[n] = (int32_t)soff;
+        prob_out[n] = prob_at[qoff];
+        motif_out[n] = motif;
+        ++n;
+        return true;
+    };
+    for (int64_t i = 0; i + 1 < n_cols; ++i) {       // CpG
+        if (qas[i] == 'C' && qas[i + 1] == 'G' &&
+            sas[i] == 'C' && sas[i + 1] == 'G') {
+            int64_t qoff = qdir ? qsize - 1 - (qpos[i] + 1) : qpos[i];
+            if (!emit(qoff, spos[i], 0)) return -1;
+        }
+    }
+    for (int64_t i = 0; i + 2 < n_cols; ++i) {       // CHG
+        uint8_t q0 = qas[i], q1 = qas[i + 1], q2 = qas[i + 2];
+        if (q0 != sas[i] || q1 != sas[i + 1] || q2 != sas[i + 2]) continue;
+        bool hit = qdir == 0
+            ? (q0 == 'C' && q2 == 'G' &&
+               (q1 == 'C' || q1 == 'A' || q1 == 'T'))
+            : (q0 == 'C' && q2 == 'G' &&
+               (q1 == 'G' || q1 == 'A' || q1 == 'T'));
+        if (!hit) continue;
+        int64_t qoff = qdir ? qsize - 1 - (qpos[i] + 2) : qpos[i];
+        if (!emit(qoff, spos[i], 1)) return -1;      // genome pos at col i
+    }
+    for (int64_t i = 0; i + 2 < n_cols; ++i) {       // CHH fwd
+        uint8_t q0 = qas[i], q1 = qas[i + 1], q2 = qas[i + 2];
+        if (q0 != sas[i] || q1 != sas[i + 1] || q2 != sas[i + 2]) continue;
+        if (!(q0 == 'C' && kT.isH[q1] && kT.isH[q2])) continue;
+        int64_t qoff = qdir ? qsize - 1 - qpos[i] : qpos[i];
+        if (!emit(qoff, spos[i], 2)) return -1;
+    }
+    for (int64_t i = 0; i + 2 < n_cols; ++i) {       // CHH rev (at the G)
+        uint8_t q0 = qas[i], q1 = qas[i + 1], q2 = qas[i + 2];
+        if (q0 != sas[i] || q1 != sas[i + 1] || q2 != sas[i + 2]) continue;
+        if (!(kT.isD[q0] && kT.isD[q1] && q2 == 'G')) continue;
+        int64_t qoff = qdir ? qsize - 1 - (qpos[i] + 2) : qpos[i] + 2;
+        if (!emit(qoff, spos[i] + 2, 2)) return -1;
+    }
+    return n;
+}
+
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) {
         int32_t s = frames[i];
