@@ -215,7 +215,8 @@ def main(argv=None) -> int:
             print(f"USAGE:\n  {PROG} pileup [-q mapQ] [-f identity] [-t threads] "
                   "reference mod-bam output-prefix", file=sys.stderr)
             return 1
-        from .quant.pileup import run_pileup_parallel
+        from .parallel.dist import init_distributed
+        from .quant.pileup import run_pileup_multihost, run_pileup_parallel
         from .utils.system import dump_parameters
         dump_parameters("pileup", {
             "min_mapq": cfg.min_mapq,
@@ -225,9 +226,16 @@ def main(argv=None) -> int:
             "input": pos[1],
             "output_prefix": pos[2],
         })
+        shard = init_distributed()
         with program_info(PROG):
-            run_pileup_parallel(pos[0], pos[1], pos[2], cfg,
-                                workers=cfg.io_threads)
+            if shard.num_processes > 1:
+                # jax.distributed run (JAX_COORDINATOR_ADDRESS et al set):
+                # collective pass 2 + per-shard BEDs; finish with
+                # `merge-pileup-shards prefix N` on the shared filesystem
+                run_pileup_multihost(pos[0], pos[1], pos[2], shard, cfg)
+            else:
+                run_pileup_parallel(pos[0], pos[1], pos[2], cfg,
+                                    workers=cfg.io_threads)
         return 0
 
     if cmd == "corr":

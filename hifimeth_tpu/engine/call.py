@@ -298,6 +298,15 @@ class CallEngine:
             warn("--feat-channels is ignored with folded/pallas gather "
                  "(their table layouts are fixed at 8 channels)")
             cfg.feat_channels = 8
+        if cfg.conv_impl != "direct" and jax.default_backend() != "cpu":
+            from ..utils.logging import warn
+            # measured round 3 (all-layers) and round 4 (conv1-only via
+            # "auto"): both im2col variants kernel-fault the remote TPU
+            # worker through the axon tunnel; they remain CPU-verified
+            # experimental paths (docs/BENCHMARKS.md roofline notes)
+            warn("conv_impl=%s has crashed the TPU worker on this "
+                 "environment; use it for CPU verification only",
+                 cfg.conv_impl)
         enable_compilation_cache()
         self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts,
                                feat_channels=cfg.feat_channels)

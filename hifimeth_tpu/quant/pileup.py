@@ -324,6 +324,89 @@ def _pass2(db, thresholds, spill_sources, output_prefix: str,
     return rows
 
 
+#: collective pass-2 chunk length: fixed so every process runs ONE compiled
+#: psum program regardless of chromosome sizes (4 Mi positions = 48 MB of
+#: (pcov, ncov, motif) int32 rows per participating local device)
+PASS2_CHUNK = 1 << 22
+
+
+def _pass2_collective(db, thresholds, spill, output_prefix: str, shard,
+                      suffix: str, chunk: int = PASS2_CHUNK) -> int:
+    """Distributed pass 2 via mesh collectives (SURVEY §5).
+
+    Every process accumulates per-site (pcov, ncov, motif) partials from ITS
+    OWN spill only, then the per-chunk `psum_site_partials_multihost`
+    produces the global counts - replacing the round-3 design where every
+    host replayed every host's spill over the shared filesystem (itself a
+    stand-in for the reference's temp-file shuffle + mutex merge,
+    pileup.cpp:158-167, 513-560).  The chromosome's round-robin owner writes
+    the BED rows; a cheap per-chromosome chunk-occupancy psum keeps chunk
+    collectives proportional to covered regions.  Collective order is
+    deterministic: all processes walk sids 0..n-1 and the globally-touched
+    chunk sets, so programs line up without any barrier beyond the psums
+    themselves."""
+    from ..parallel.collectives import (psum_i64_multihost,
+                                        psum_site_partials_multihost)
+    from ..parallel.dist import chromosome_ranges
+
+    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
+    outs = {
+        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "w"),
+        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "w"),
+        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "w"),
+    }
+    rows = 0
+    stream = _sid_grouped(spill)
+    head = next(stream, None)
+    for sid in range(db.num_seqs):
+        size = db.seq_length(sid)
+        pcov = np.zeros(size, np.int32)
+        ncov = np.zeros(size, np.int32)
+        menc = np.zeros(size, np.int32)
+        while head is not None and head[0] == sid:
+            part = head[1]
+            p, n, mm = accumulate_counts(
+                part["soff"].astype(np.int64), part["prob"],
+                part["motif"], thresholds, size)
+            pcov += p
+            ncov += n
+            touched = mm != 255
+            menc[touched] = (shard.process_id * 4
+                             + mm[touched].astype(np.int32) + 1)
+            head = next(stream, None)
+        n_chunks = -(-size // chunk)
+        flags = np.zeros(n_chunks, np.int64)
+        for ci in range(n_chunks):
+            sl = slice(ci * chunk, min((ci + 1) * chunk, size))
+            if menc[sl].any() or pcov[sl].any() or ncov[sl].any():
+                flags[ci] = 1
+        gflags = psum_i64_multihost(flags)
+        for ci in np.flatnonzero(gflags):
+            lo = int(ci) * chunk
+            hi = min(lo + chunk, size)
+            pc = np.zeros(chunk, np.int32)
+            nc = np.zeros(chunk, np.int32)
+            me = np.zeros(chunk, np.int32)
+            pc[:hi - lo] = pcov[lo:hi]
+            nc[:hi - lo] = ncov[lo:hi]
+            me[:hi - lo] = menc[lo:hi]
+            gp, gn, gm = psum_site_partials_multihost(pc, nc, me)
+            if sid in my_chroms:
+                pcov[lo:hi] = gp[:hi - lo]
+                ncov[lo:hi] = gn[:hi - lo]
+                menc[lo:hi] = gm[:hi - lo]
+        if sid in my_chroms:
+            motif_map = np.where(menc > 0, (menc - 1) % 4,
+                                 255).astype(np.uint8)
+            name = db.seq_name(sid)
+            for m in range(3):
+                rows += write_bed_rows(outs[m], name, pcov, ncov,
+                                       motif_map, m)
+    for f in outs.values():
+        f.close()
+    return rows
+
+
 def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
                cfg: PileupConfig | None = None,
                spill_dir: str | None = None,
@@ -555,14 +638,14 @@ def run_pileup_multihost(reference_path: str, mod_bam_path: str,
                          spill_dir: str | None = None) -> dict:
     """True multi-host pileup under jax.distributed.
 
-    Every process: pass 1 over its round-robin read shard -> spill to the
-    deterministic shared path `{output_prefix}.spill{pid}` -> psum the
-    histograms across processes (which doubles as the pass-1 barrier) ->
-    pass 2 over its chromosome range reading every process's spill -> write
-    per-shard BEDs.  Process 0 concatenates afterwards with
+    Every process: pass 1 over its round-robin read shard -> spill locally
+    -> psum the histograms across processes -> collective pass 2
+    (_pass2_collective: per-chunk (pcov, ncov, motif) psum/pmax over the
+    process mesh; no process reads another's spill and no shared-FS spill
+    exchange is needed) -> write per-shard BEDs for its round-robin
+    chromosomes.  Process 0 concatenates afterwards with
     merge_pileup_shards (or the merge-pileup-shards CLI)."""
     from ..parallel.collectives import psum_histograms_multihost
-    from ..parallel.dist import chromosome_ranges
 
     cfg = cfg or PileupConfig()
     reader = BamReader(mod_bam_path, threads=cfg.io_threads)
@@ -573,12 +656,9 @@ def run_pileup_multihost(reference_path: str, mod_bam_path: str,
     n_reads = _pass1_stream(reader, hdr, db, cfg, shard, bins, spill)
     reader.close()
     spill.finish()
-    my_spill = f"{output_prefix}.spill{shard.process_id}"
-    os.replace(spill.path, my_spill)
-    spill.path = my_spill
 
-    # collective histogram merge == cross-process barrier: when it returns,
-    # every process's spill file exists on the shared filesystem
+    # collective histogram merge (the cross-process replacement for the
+    # reference's mutex merge, pileup.cpp:158-167); also the pass-1 barrier
     bins = psum_histograms_multihost(bins)
     thresholds = np.array([
         resolve_threshold(bins[0], "CpG"),
@@ -586,14 +666,11 @@ def run_pileup_multihost(reference_path: str, mod_bam_path: str,
         resolve_threshold(bins[2], "CHH"),
     ], np.uint8)
 
-    sources = []
-    for p in range(shard.num_processes):
-        path = f"{output_prefix}.spill{p}"
-        sources.append(spill if p == shard.process_id else _ExternalSpill(path))
     _write_chroms_sidecar(output_prefix, db)
-    my_chroms = set(chromosome_ranges(db.num_seqs, shard))
     suffix = f".shard{shard.process_id:04d}"
-    rows = _pass2(db, thresholds, sources, output_prefix, my_chroms, suffix)
+    rows = _pass2_collective(db, thresholds, spill, output_prefix, shard,
+                             suffix)
+    spill.cleanup()
     return {"reads": n_reads, "thresholds": thresholds.tolist(),
             "bed_rows": rows, "bins": bins}
 

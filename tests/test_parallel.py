@@ -3,8 +3,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hifimeth_tpu.parallel.collectives import (all_gather_u8, psum_histograms,
-                                               psum_site_counts)
+from hifimeth_tpu.parallel.collectives import (psum_histograms,
+                                               psum_i64_multihost,
+                                               psum_site_partials_multihost)
 from hifimeth_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
 
@@ -16,21 +17,20 @@ def test_psum_histograms():
     np.testing.assert_array_equal(got, local.sum(0))
 
 
-def test_psum_site_counts():
-    mesh = make_mesh(n_data=8, n_model=1)
+def test_site_partials_collectives_single_process():
+    """Single-process identity of the pass-2 production collectives (the
+    2-process path is covered end-to-end by test_multiprocess_dist.py's
+    byte-equality test)."""
     rng = np.random.default_rng(1)
-    p = rng.integers(0, 50, (8, 1000)).astype(np.int32)
-    c = rng.integers(0, 50, (8, 1000)).astype(np.int32)
-    gp, gc = psum_site_counts(mesh, p, c)
-    np.testing.assert_array_equal(gp, p.sum(0))
-    np.testing.assert_array_equal(gc, c.sum(0))
-
-
-def test_all_gather_order():
-    mesh = make_mesh(n_data=8, n_model=1)
-    local = np.arange(8 * 16, dtype=np.uint8).reshape(8, 16)
-    got = all_gather_u8(mesh, local)
-    np.testing.assert_array_equal(got, local.reshape(-1))
+    p = rng.integers(0, 50, 4096).astype(np.int32)
+    c = rng.integers(0, 50, 4096).astype(np.int32)
+    m = rng.integers(0, 4, 4096).astype(np.int32)
+    gp, gc, gm = psum_site_partials_multihost(p, c, m)
+    np.testing.assert_array_equal(gp, p)
+    np.testing.assert_array_equal(gc, c)
+    np.testing.assert_array_equal(gm, m)
+    flags = np.array([0, 3, 1, 0], np.int64)
+    np.testing.assert_array_equal(psum_i64_multihost(flags), flags)
 
 
 def test_sharded_call_sites_matches_single_device():
