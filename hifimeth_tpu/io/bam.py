@@ -316,15 +316,147 @@ def choose_int_type(v: int) -> str:
     return "I"
 
 
+class SamTextReader:
+    """Plain-text SAM reader producing BamRecords (gzip-transparent).
+
+    The reference opens inputs through htslib's sam_open, which auto-detects
+    SAM/BAM/CRAM (sam_batch.hpp:12-23), so `hifimeth call reads.sam` works
+    there; BamReader delegates here when the input is not BGZF/BAM."""
+
+    def __init__(self, path):
+        import gzip
+        with open(path, "rb") as probe:
+            is_gz = probe.read(2) == b"\x1f\x8b"
+        self._f = (gzip.open(path, "rt") if is_gz
+                   else open(path, "r", encoding="utf-8"))
+        self._pending: str | None = None
+        text = []
+        refs = []
+        for line in self._f:
+            if line.startswith("@"):
+                text.append(line)
+                if line.startswith("@SQ"):
+                    name, ln = None, 0
+                    for col in line.rstrip("\n").split("\t")[1:]:
+                        if col.startswith("SN:"):
+                            name = col[3:]
+                        elif col.startswith("LN:"):
+                            ln = int(col[3:])
+                    if name is not None:
+                        refs.append((name, ln))
+            else:
+                self._pending = line
+                break
+        self.header = BamHeader("".join(text), refs)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> BamRecord:
+        if self._pending is not None:
+            line, self._pending = self._pending, None
+        else:
+            line = self._f.readline()
+        while line and not line.strip():
+            line = self._f.readline()
+        if not line:
+            raise StopIteration
+        return self._parse_record(line)
+
+    def _parse_record(self, line: str) -> BamRecord:
+        cols = line.rstrip("\n").split("\t")
+        if len(cols) < 11:
+            raise BamFormatError(f"SAM record with {len(cols)} < 11 fields: "
+                                 f"{line[:80]!r}")
+        rec = BamRecord()
+        rec.qname = cols[0]
+        rec.flag = int(cols[1])
+        rec.refid = -1 if cols[2] == "*" else self.header.name2tid(cols[2])
+        rec.pos = int(cols[3]) - 1
+        rec.mapq = int(cols[4])
+        rec.set_cigar_str(cols[5])
+        if cols[6] == "=":
+            rec.next_refid = rec.refid
+        elif cols[6] == "*":
+            rec.next_refid = -1
+        else:
+            rec.next_refid = self.header.name2tid(cols[6])
+        rec.next_pos = int(cols[7]) - 1
+        rec.tlen = int(cols[8])
+        if cols[9] == "*":
+            rec.set_seq(b"")
+        else:
+            qual = None
+            if cols[10] != "*":
+                qual = (np.frombuffer(cols[10].encode(), np.uint8)
+                        - 33).astype(np.uint8)
+            rec.set_seq(cols[9].encode(), qual=qual)
+        for tok in cols[11:]:
+            tag, ty, val = tok.split(":", 2)
+            if ty == "i":
+                rec.set_tag(tag, choose_int_type(int(val)), int(val))
+            elif ty == "f":
+                rec.set_tag(tag, "f", float(val))
+            elif ty in ("A", "Z", "H"):
+                rec.set_tag(tag, ty, val)
+            elif ty == "B":
+                sub = val[0]
+                body = val[2:] if len(val) > 1 else ""
+                if not body:
+                    arr = np.empty(0, _B_DTYPES[sub])
+                elif sub == "f":
+                    arr = np.array(body.split(","), np.float32)
+                else:
+                    arr = np.array([int(x) for x in body.split(",")],
+                                   _B_DTYPES[sub])
+                rec.set_tag(tag, "B", (sub, arr))
+            else:
+                raise BamFormatError(
+                    f"unknown SAM tag type {ty!r} in {tok!r}")
+        return rec
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class BamReader:
     """Sequential streaming BAM reader over BGZF.
 
     Keeps a rolling decoded buffer (~chunk bytes) so memory stays bounded for
     arbitrarily large inputs; the BGZF layer inflates ahead in a thread pool
     (the TPU-native analog of htslib's 8-thread pool, sam_batch.hpp:19).
-    """
+
+    SAM/BAM auto-detection (the reference gets this from htslib's sam_open,
+    sam_batch.hpp:12-23): a path whose content is not BGZF-framed BAM -
+    plain-text SAM, gzipped SAM, or BGZF SAM - is transparently routed
+    through SamTextReader."""
 
     def __init__(self, path, threads: int = 4, chunk: int = 4 << 20):
+        import os as _os
+        self._sam: SamTextReader | None = None
+        if isinstance(path, (str, _os.PathLike)):
+            with open(path, "rb") as f:
+                head = f.read(4)
+            if head[:2] != b"\x1f\x8b":
+                if head == BAM_MAGIC:
+                    raise BamFormatError(
+                        "uncompressed BAM input is not supported; "
+                        "compress with bgzip")
+                # ASCII content: plain-text SAM
+                self._sam = SamTextReader(path)
+                self.header = self._sam.header
+                return
+            try:
+                self._init_bam(path, threads, chunk)
+                return
+            except (BamFormatError, ValueError):
+                # gzip/BGZF stream whose payload is not BAM: gzipped SAM
+                self._sam = SamTextReader(path)
+                self.header = self._sam.header
+                return
+        self._init_bam(path, threads, chunk)
+
+    def _init_bam(self, path, threads: int, chunk: int) -> None:
         self._bgzf = BgzfReader(path, threads=threads)
         self._chunk = chunk
         self._buf = bytearray()
@@ -356,6 +488,8 @@ class BamReader:
         return self
 
     def __next__(self) -> BamRecord:
+        if self._sam is not None:
+            return next(self._sam)
         raw = self.next_raw()
         if raw is None:
             raise StopIteration
@@ -366,6 +500,12 @@ class BamReader:
 
         The returned memoryview is only valid until the next call.
         """
+        if self._sam is not None:
+            try:
+                rec = next(self._sam)
+            except StopIteration:
+                return None
+            return memoryview(rec.to_bytes())[4:]
         if not self._ensure(4):
             return None
         (block_size,) = struct.unpack_from("<I", self._buf, self._pos)
@@ -376,6 +516,9 @@ class BamReader:
         return memoryview(self._buf)[start:self._pos]
 
     def close(self) -> None:
+        if self._sam is not None:
+            self._sam.close()
+            return
         self._bgzf.close()
 
 

@@ -143,3 +143,101 @@ def test_bgzf_python_fallback(tmp_path, monkeypatch):
     assert r._native is None
     assert r.read_all() == data
     r.close()
+
+
+def _sam_line(rec, header):
+    """Serialize one BamRecord to a SAM text line (test helper, written
+    independently of SamTextReader)."""
+    import numpy as np
+    rname = "*" if rec.refid < 0 else header.refs[rec.refid][0]
+    cig = "*" if len(rec.cigar) == 0 else "".join(
+        f"{int(ln)}{'MIDNSHP=X'[int(op)]}"
+        for op, ln in zip(*rec.cigar_ops()))
+    seq = rec.seq_ascii().tobytes().decode() or "*"
+    qual = "*" if rec.qual is None else "".join(
+        chr(int(q) + 33) for q in rec.qual)
+    cols = [rec.qname, str(rec.flag), rname, str(rec.pos + 1), str(rec.mapq),
+            cig, "*", "0", "0", seq, qual]
+    for tag, ty, val in rec.tags:
+        if ty in "cCsSiI":
+            cols.append(f"{tag}:i:{int(val)}")
+        elif ty == "B":
+            sub, arr = val
+            cols.append(f"{tag}:B:{sub}," + ",".join(str(int(x)) for x in arr))
+        else:
+            cols.append(f"{tag}:{ty}:{val}")
+    return "\t".join(cols)
+
+
+def test_sam_text_input_roundtrip(tmp_path):
+    """SAM text (plain and gzipped) parses into records identical to the
+    BAM path - the reference accepts SAM via htslib auto-detection
+    (sam_batch.hpp:12-23)."""
+    import gzip
+
+    import numpy as np
+
+    from util import make_kinetics_read, write_bam
+
+    rng = np.random.default_rng(44)
+    recs = [make_kinetics_read(rng, f"r{i}", 500) for i in range(4)]
+    recs[2].flag = 16
+    recs[2].refid = 0
+    recs[2].pos = 99
+    recs[2].mapq = 60
+    recs[2].set_cigar_str("300M1D100M2I98M")
+    bam = tmp_path / "x.bam"
+    from hifimeth_tpu.io.bam import BamReader
+    hdr = write_bam(bam, recs, refs=[("chr9", 5000)],
+                    text="@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr9\tLN:5000\n")
+
+    lines = ["@HD\tVN:1.6\tSO:unknown", "@SQ\tSN:chr9\tLN:5000"]
+    lines += [_sam_line(r, hdr) for r in recs]
+    sam_text = "\n".join(lines) + "\n"
+    sam = tmp_path / "x.sam"
+    sam.write_text(sam_text)
+    samgz = tmp_path / "x.sam.gz"
+    samgz.write_bytes(gzip.compress(sam_text.encode()))
+
+    want = list(BamReader(str(bam)))
+    for src in (sam, samgz):
+        reader = BamReader(str(src))
+        assert reader.header.refs == [("chr9", 5000)]
+        assert reader.header.sort_order() == "unknown"
+        got = list(reader)
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert (a.qname, a.flag, a.refid, a.pos, a.mapq) == \
+                   (b.qname, b.flag, b.refid, b.pos, b.mapq)
+            np.testing.assert_array_equal(a.seq_ascii(), b.seq_ascii())
+            np.testing.assert_array_equal(a.cigar, b.cigar)
+            for t in ("fi", "ri", "fp", "rp"):
+                np.testing.assert_array_equal(a.get_tag(t)[1][1],
+                                              b.get_tag(t)[1][1])
+        reader.close()
+
+
+def test_sam_input_through_call(tmp_path):
+    """`call` on a SAM text input produces the same MM/ML as the BAM."""
+    import numpy as np
+
+    from hifimeth_tpu.engine.call import CallConfig, run_call
+    from hifimeth_tpu.io.bam import BamReader
+    from util import make_kinetics_read, write_bam
+
+    rng = np.random.default_rng(45)
+    recs = [make_kinetics_read(rng, f"r{i}", 1200) for i in range(3)]
+    bam = tmp_path / "in.bam"
+    hdr = write_bam(bam, recs)
+    sam = tmp_path / "in.sam"
+    sam.write_text("@HD\tVN:1.6\tSO:unknown\n"
+                   + "\n".join(_sam_line(r, hdr) for r in recs) + "\n")
+
+    outs = {}
+    for tag, src in (("bam", bam), ("sam", sam)):
+        out = tmp_path / f"{tag}.out.bam"
+        run_call(str(src), str(out),
+                 CallConfig(contexts=("CpG",), site_batch=128,
+                            buffer_bases=1 << 13))
+        outs[tag] = [(r.qname, r.get_tag("MM")) for r in BamReader(str(out))]
+    assert outs["bam"] == outs["sam"]
