@@ -83,8 +83,15 @@ def _load():
             u8p, u8p,                     # has_prob, prob_at
             dp, dp,                       # pi, epi
             i32p, u8p, u8p, c_i64]        # soff, prob, motif, cap
+        lib.hm_hist_mods.restype = None
+        lib.hm_hist_mods.argtypes = [u8p, c_i64, i64p, u8p, c_i64, i64p]
+        lib.hm_accum_counts.restype = None
+        lib.hm_accum_counts.argtypes = [i32p, u8p, u8p, c_i64, u8p,
+                                        i32p, i32p, u8p]
     except AttributeError:  # stale .so from before round 4
         lib.hm_map_mod_sites = None
+        lib.hm_hist_mods = None
+        lib.hm_accum_counts = None
     _LIB = lib
     return _LIB
 
@@ -354,9 +361,14 @@ def map_mod_sites(query: np.ndarray, qdir: int, chr_seq: np.ndarray,
     has_prob = np.ascontiguousarray(has_prob, np.uint8)
     prob_at = np.ascontiguousarray(prob_at, np.uint8)
     cap = 4 * int(lens.sum()) + 8
-    soffs = np.empty(cap, np.int32)
-    probs = np.empty(cap, np.uint8)
-    motifs = np.empty(cap, np.uint8)
+    # grown-on-demand scratch (fresh ~360 KB of allocations per read cost
+    # ~0.3 ms/read in pileup pass 1); results are copied out below
+    sc = _MAP_SCRATCH
+    if sc is None or len(sc[0]) < cap:
+        sc = (np.empty(cap, np.int32), np.empty(cap, np.uint8),
+              np.empty(cap, np.uint8))
+        globals()["_MAP_SCRATCH"] = sc
+    soffs, probs, motifs = sc
     pi = ctypes.c_double(0.0)
     epi = ctypes.c_double(0.0)
     i32 = ctypes.POINTER(ctypes.c_int32)
@@ -371,7 +383,55 @@ def map_mod_sites(query: np.ndarray, qdir: int, chr_seq: np.ndarray,
         raise ValueError("map_mod_sites: record buffer overflow")
     if n < 0:
         return None      # out-of-bounds alignment: Python path decides
-    return pi.value, epi.value, soffs[:n], probs[:n], motifs[:n]
+    return pi.value, epi.value, soffs[:n].copy(), probs[:n].copy(), \
+        motifs[:n].copy()
+
+
+_MAP_SCRATCH = None
+
+
+def hist_mods(fwd_seq: np.ndarray, qoffs: np.ndarray, probs: np.ndarray,
+              bins: np.ndarray) -> bool:
+    """Pass-1 histogram update for one read (classify by read-local context
+    + bincount, pileup.cpp:237-271); bins is the (3, 256) int64 array,
+    updated in place.  Returns False if the native library is unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_hist_mods", None) is None:
+        return False
+    fwd_seq = np.ascontiguousarray(fwd_seq, np.uint8)
+    qoffs = np.ascontiguousarray(qoffs, np.int64)
+    probs = np.ascontiguousarray(probs, np.uint8)
+    assert bins.dtype == np.int64 and bins.flags.c_contiguous
+    lib.hm_hist_mods(
+        _u8p(fwd_seq), len(fwd_seq),
+        qoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u8p(probs), len(qoffs),
+        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return True
+
+
+def accum_counts(soff: np.ndarray, prob: np.ndarray, motif: np.ndarray,
+                 thresholds: np.ndarray, pcov: np.ndarray, ncov: np.ndarray,
+                 motif_map: np.ndarray) -> bool:
+    """Pass-2 in-place accumulation of one spill chunk into per-chromosome
+    (pcov, ncov, motif_map) arrays (pileup.cpp:513-560).  Returns False if
+    the native library is unavailable."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_accum_counts", None) is None:
+        return False
+    soff = np.ascontiguousarray(soff, np.int32)
+    prob = np.ascontiguousarray(prob, np.uint8)
+    motif = np.ascontiguousarray(motif, np.uint8)
+    thresholds = np.ascontiguousarray(thresholds, np.uint8)
+    assert pcov.dtype == np.int32 and pcov.flags.c_contiguous
+    assert ncov.dtype == np.int32 and ncov.flags.c_contiguous
+    assert motif_map.dtype == np.uint8 and motif_map.flags.c_contiguous
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.hm_accum_counts(
+        soff.ctypes.data_as(i32), _u8p(prob), _u8p(motif), len(soff),
+        _u8p(thresholds), pcov.ctypes.data_as(i32),
+        ncov.ctypes.data_as(i32), _u8p(motif_map))
+    return True
 
 
 def encode_codev1(frames: np.ndarray):

@@ -108,24 +108,34 @@ def accumulate_counts(soffs: np.ndarray, probs: np.ndarray, motifs: np.ndarray,
     return pcov, ncov, motif_map
 
 
-def write_bed_rows(out, chr_name: str, pcov, ncov, motif_map, motif: int) -> int:
+def write_bed_rows(out, chr_name: str, pcov, ncov, motif_map, motif: int,
+                   span: tuple[int, int] | None = None) -> int:
     """Emit 6-column rows for one motif class; %g freq formatting matches the
     reference's default ostream double formatting (pileup.cpp:562-586).
 
     Row assembly is the pass-2 hot loop (was 33% of pileup wall): freq
     strings are cached per distinct (pcov, cov) pair - coverage is small so
     pairs are O(cov^2) while rows are millions - and rows are joined and
-    written in 1M-row chunks instead of one stream write per row."""
+    written in 1M-row chunks instead of one stream write per row.  `out`
+    may be binary (preferred: native row bytes write straight through) or
+    text; `span` restricts output to positions [lo, hi) so one chromosome
+    can be split across pass-2 workers."""
+    import io as _io
     cov = pcov + ncov
-    rows = np.flatnonzero((cov > 0) & (motif_map == motif))
+    mask = (cov > 0) & (motif_map == motif)
+    if span is None:
+        rows = np.flatnonzero(mask)
+    else:
+        rows = np.flatnonzero(mask[span[0]:span[1]]) + span[0]
+    is_text = isinstance(out, _io.TextIOBase)
     from ..io import native
     if native.available() and getattr(native._load(), "hm_bed_rows", None):
         # native row formatter (C snprintf %g == Python :g), ~15x the
         # cached-f-string loop below
         for lo in range(0, len(rows), 1 << 20):
             sel = rows[lo:lo + (1 << 20)]
-            out.write(native.bed_rows(chr_name, sel, pcov[sel],
-                                      cov[sel]).decode())
+            data = native.bed_rows(chr_name, sel, pcov[sel], cov[sel])
+            out.write(data.decode() if is_text else data)
         return len(rows)
     cache: dict = {}
     for lo in range(0, len(rows), 1 << 20):
@@ -138,8 +148,26 @@ def write_bed_rows(out, chr_name: str, pcov, ncov, motif_map, motif: int) -> int
             if fs is None:
                 fs = cache[key] = f"{100.0 * pi / ci:g}"
             parts.append(f"{chr_name}\t{k}\t{k + 1}\t{fs}\t{pi}\t{ci - pi}\n")
-        out.write("".join(parts))
+        data = "".join(parts)
+        out.write(data if is_text else data.encode())
     return len(rows)
+
+
+def _accumulate_part(part, thresholds, pcov, ncov, motif_map,
+                     size: int) -> None:
+    """Accumulate one spill chunk into per-chromosome arrays in place
+    (native single pass when built; numpy bincount fallback)."""
+    from ..io import native
+    if native.accum_counts(part["soff"], part["prob"], part["motif"],
+                           thresholds, pcov, ncov, motif_map):
+        return
+    p, n, mm = accumulate_counts(
+        part["soff"].astype(np.int64), part["prob"], part["motif"],
+        thresholds, size)
+    pcov += p
+    ncov += n
+    touched = mm != 255
+    motif_map[touched] = mm[touched]
 
 
 class PileupSpill:
@@ -203,29 +231,48 @@ def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
     use_native = native.available() and \
         getattr(native._load(), "hm_map_mod_sites", None) is not None
 
+    from ..io.bam import BamRecord
     n_reads = 0
     read_id = -1
-    for rec in reader:
+    while True:
+        raw = reader.next_raw()
+        if raw is None:
+            break
         read_id += 1
+        # cheap ownership check BEFORE record parse: non-owned reads cost
+        # only the shared BGZF inflate, not BamRecord.from_bytes (the
+        # reference's workers likewise skip by read-id under the reader
+        # mutex, sam_batch.hpp:38-54).  The view must be released before
+        # the next next_raw() or the rolling buffer cannot compact.
         if not shard.owns_read(read_id):
+            raw.release()
             continue
+        rec = BamRecord.from_bytes(raw)
+        raw.release()
         n_reads += 1
         if n_reads % 100000 == 0:
             log("%10d reads processed", n_reads)
-        fwd_seq = native_fwd_seq(rec)
+        stored_seq = rec.seq_ascii()         # aligned orientation, reused below
+        if rec.is_reverse:
+            from ..constants import BASE_COMPLEMENT
+            fwd_seq = BASE_COMPLEMENT[stored_seq[::-1]]
+        else:
+            fwd_seq = stored_seq
         qoffs, strands, codes, probs = parse_mod_tags_flat(rec, fwd_seq)
         if len(qoffs) == 0:
             continue
 
         if not rec.is_secondary_or_supplementary:
-            # histogram: all codes, C/G bases only (pileup.cpp:238-271)
-            keep = (fwd_seq[qoffs] == _C) | (fwd_seq[qoffs] == _G)
-            cls = classify_read_mods(fwd_seq, qoffs[keep])
-            pr = probs[keep]
-            for m in range(3):
-                sel = cls == m
-                if sel.any():
-                    bins[m] += np.bincount(pr[sel], minlength=256)
+            # histogram: all codes, C/G bases only (pileup.cpp:238-271);
+            # native classify+bincount in one pass when built
+            if not native.hist_mods(fwd_seq, qoffs, probs, bins):
+                keep = (fwd_seq[qoffs] == _C) | (fwd_seq[qoffs] == _G)
+                cls = classify_read_mods(fwd_seq, qoffs[keep])
+                pr = probs[keep]
+                for m in range(3):
+                    sel = cls == m
+                    if sel.any():
+                        bins[m] += np.bincount(pr[sel], minlength=256)
 
         if rec.mapq < cfg.min_mapq:
             continue
@@ -244,7 +291,7 @@ def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
             sid = db.seq_name2id(hdr.tid2name(rec.refid))
             ops, lens = rec.cigar_ops()
             res = native.map_mod_sites(
-                rec.seq_ascii(), 1 if rec.is_reverse else 0,
+                stored_seq, 1 if rec.is_reverse else 0,
                 db.seq_bases(sid), rec.pos, ops, lens, has_prob, prob_at)
         if res is not None:
             pi, _epi, soffs, sprobs, motifs = res
@@ -285,13 +332,18 @@ def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
 
 
 def _pass2(db, thresholds, spill_sources, output_prefix: str,
-           my_chroms: set, suffix: str) -> int:
+           my_chroms, suffix: str) -> int:
     """Per-chromosome multi-way merge over sid-ordered spill streams; memory
-    bounded by one chromosome (pileup.cpp:513-560)."""
+    bounded by one chromosome (pileup.cpp:513-560).
+
+    `my_chroms` is either a set of owned sids or a dict sid -> (lo, hi)
+    position span, so a single chromosome can be range-split across
+    workers (each accumulates the whole chromosome but writes only its
+    span; BED part files concatenate in span order to the serial bytes)."""
     outs = {
-        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "w"),
-        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "w"),
-        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "w"),
+        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "wb"),
+        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "wb"),
+        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "wb"),
     }
     rows = 0
     streams = [_sid_grouped(src) for src in spill_sources]
@@ -303,22 +355,20 @@ def _pass2(db, thresholds, spill_sources, output_prefix: str,
         ncov = np.zeros(size, np.int32)
         motif_map = np.full(size, 255, np.uint8)
         wanted = sid in my_chroms
+        span = (my_chroms[sid] if isinstance(my_chroms, dict) and wanted
+                else None)
         for i, stream in enumerate(streams):
             while heads[i] is not None and heads[i][0] == sid:
                 part = heads[i][1]
                 if wanted:
-                    p, n, mm = accumulate_counts(
-                        part["soff"].astype(np.int64), part["prob"],
-                        part["motif"], thresholds, size)
-                    pcov += p
-                    ncov += n
-                    touched = mm != 255
-                    motif_map[touched] = mm[touched]
+                    _accumulate_part(part, thresholds, pcov, ncov,
+                                     motif_map, size)
                 heads[i] = next(stream, None)
         if wanted:
             name = db.seq_name(sid)
             for m in range(3):
-                rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map, m)
+                rows += write_bed_rows(outs[m], name, pcov, ncov, motif_map,
+                                       m, span=span)
     for f in outs.values():
         f.close()
     return rows
@@ -351,9 +401,9 @@ def _pass2_collective(db, thresholds, spill, output_prefix: str, shard,
 
     my_chroms = set(chromosome_ranges(db.num_seqs, shard))
     outs = {
-        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "w"),
-        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "w"),
-        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "w"),
+        0: open(f"{output_prefix}.CpG.cov.bed{suffix}", "wb"),
+        1: open(f"{output_prefix}.CHG.cov.bed{suffix}", "wb"),
+        2: open(f"{output_prefix}.CHH.cov.bed{suffix}", "wb"),
     }
     rows = 0
     stream = _sid_grouped(spill)
@@ -362,18 +412,15 @@ def _pass2_collective(db, thresholds, spill, output_prefix: str, shard,
         size = db.seq_length(sid)
         pcov = np.zeros(size, np.int32)
         ncov = np.zeros(size, np.int32)
-        menc = np.zeros(size, np.int32)
+        motif_map = np.full(size, 255, np.uint8)
         while head is not None and head[0] == sid:
-            part = head[1]
-            p, n, mm = accumulate_counts(
-                part["soff"].astype(np.int64), part["prob"],
-                part["motif"], thresholds, size)
-            pcov += p
-            ncov += n
-            touched = mm != 255
-            menc[touched] = (shard.process_id * 4
-                             + mm[touched].astype(np.int32) + 1)
+            _accumulate_part(head[1], thresholds, pcov, ncov, motif_map,
+                             size)
             head = next(stream, None)
+        touched = motif_map != 255
+        menc = np.zeros(size, np.int32)
+        menc[touched] = (shard.process_id * 4
+                         + motif_map[touched].astype(np.int32) + 1)
         n_chunks = -(-size // chunk)
         flags = np.zeros(n_chunks, np.int64)
         for ci in range(n_chunks):
@@ -476,8 +523,14 @@ def run_pileup(reference_path: str, mod_bam_path: str, output_prefix: str,
 def _sid_grouped(src, chunk: int = 1 << 20):
     """Yield (sid, record-part) pairs from a sid-ordered spill stream."""
     for arr in src.replay(chunk):
-        for sid in np.unique(arr["sid"]):
-            yield int(sid), arr[arr["sid"] == sid]
+        sids = arr["sid"]
+        if len(sids) and sids[0] == sids[-1]:    # single-sid chunk: no copy
+            yield int(sids[0]), arr
+            continue
+        # sid-ordered: split at run boundaries with slices, not masks
+        cuts = np.flatnonzero(np.diff(sids)) + 1
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(sids)]):
+            yield int(sids[lo]), arr[lo:hi]
 
 
 class _ExternalSpill:
@@ -496,14 +549,14 @@ class _ExternalSpill:
 
 
 def _pass2_worker(args):
-    """Multiprocessing worker: pass 2 over a contiguous chromosome range,
-    writing per-context part files (suffix) the parent concatenates in
-    range order.  Runs jax-free (numpy only)."""
-    (reference_path, thresholds, spill_paths, prefix, sids, suffix) = args
-    db = FastaDatabase(reference_path, quiet=True)
+    """Multiprocessing worker: pass 2 over a contiguous (sid, position)
+    span set, writing per-context part files (suffix) the parent
+    concatenates in span order.  Runs jax-free (numpy only)."""
+    (reference_path, thresholds, spill_paths, prefix, spans, suffix) = args
+    db = _get_db(reference_path)
     return _pass2(db, np.asarray(thresholds, np.uint8),
                   [_ExternalSpill(p) for p in spill_paths],
-                  prefix, set(sids), suffix)
+                  prefix, spans, suffix)
 
 
 def _pass1_worker(args):
@@ -514,13 +567,29 @@ def _pass1_worker(args):
 
     reader = BamReader(mod_bam_path, threads=2)
     hdr = reader.header
-    db = FastaDatabase(reference_path, quiet=True)
+    db = _get_db(reference_path)
     bins = np.zeros((3, 256), np.int64)
     spill = PileupSpill(db.num_seqs, dir=spill_dir)
     n_reads = _pass1_stream(reader, hdr, db, cfg, shard, bins, spill)
     reader.close()
     spill.finish()
     return bins, spill.path, n_reads
+
+
+_DB_CACHE: dict = {}
+
+
+def _get_db(path: str, quiet: bool = True) -> FastaDatabase:
+    """Per-process FastaDatabase cache keyed by (path, mtime): worker
+    processes persist across pileup calls (pool cache below), so repeated
+    quantification over the same reference skips the ~30 ms reload (the
+    reference holds its HbnDatabase for the process lifetime too)."""
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    db = _DB_CACHE.get(key)
+    if db is None:
+        _DB_CACHE.clear()
+        db = _DB_CACHE[key] = FastaDatabase(path, quiet=quiet)
+    return db
 
 
 _POOL_CACHE: dict = {}
@@ -584,27 +653,35 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
         resolve_threshold(bins[1], "CHG"),
         resolve_threshold(bins[2], "CHH"),
     ], np.uint8)
-    db = FastaDatabase(reference_path)
-    if db.num_seqs > 1:
-        # parallel pass 2: contiguous sid ranges balanced by sequence
-        # length run on the same pool (part files concatenated in range
-        # order keep the global sid order).  The reference's pass 2 is
-        # serial (pileup.cpp:513-595); chromosomes are independent here.
+    db = _get_db(reference_path, quiet=False)
+    lens = [db.seq_length(s) for s in range(db.num_seqs)]
+    total = sum(lens)
+    # balanced contiguous (sid, position) spans: chromosomes are split at
+    # position boundaries, so even a single-chromosome genome fans out over
+    # the pool (the reference's pass 2 is serial, pileup.cpp:513-595; rows
+    # are per-position independent, and part files concatenated in span
+    # order reproduce the serial bytes exactly).  Tiny genomes stay serial.
+    n_jobs = min(workers, max(1, total // (1 << 18)))
+    if n_jobs > 1:
         import shutil
 
-        lens = [db.seq_length(s) for s in range(db.num_seqs)]
-        target = sum(lens) / workers
-        ranges: list[list[int]] = [[]]
-        acc = 0
-        for s in range(db.num_seqs):
-            if acc >= target and len(ranges) < workers:
-                ranges.append([])
-                acc = 0
-            ranges[-1].append(s)
-            acc += lens[s]
+        target = -(-total // n_jobs)
+        spans: list[dict] = [dict() for _ in range(n_jobs)]
+        j = acc = 0
+        for s, L in enumerate(lens):
+            off = 0
+            while off < L:
+                take = min(L - off, target - acc)
+                spans[j][s] = (off, off + take)
+                acc += take
+                off += take
+                if acc >= target and j < n_jobs - 1:
+                    j += 1
+                    acc = 0
+        spans = [sp for sp in spans if sp]
         jobs2 = [(reference_path, thresholds.tolist(), spill_paths,
-                  output_prefix, r, f".part{i}")
-                 for i, r in enumerate(ranges)]
+                  output_prefix, sp, f".part{i}")
+                 for i, sp in enumerate(spans)]
         try:
             rows = sum(pool.map(_pass2_worker, jobs2))
         except Exception:
@@ -614,7 +691,7 @@ def run_pileup_parallel(reference_path: str, mod_bam_path: str,
         for ctxname in ("CpG", "CHG", "CHH"):
             final = f"{output_prefix}.{ctxname}.cov.bed"
             with open(final, "wb") as outf:
-                for i in range(len(ranges)):
+                for i in range(len(spans)):
                     part = f"{final}.part{i}"
                     with open(part, "rb") as pf:
                         shutil.copyfileobj(pf, outf)

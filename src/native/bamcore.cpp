@@ -334,11 +334,15 @@ static int64_t hm_bed_rows_impl(const char* chr_name,
                                 int64_t n, char* out, int64_t cap) {
     // freq-string cache for small coverages: %g double formatting is ~90%
     // of snprintf cost and coverage values repeat constantly.  Entry
-    // (p, c) with c <= 512 lives at p * 513 + c (p <= c).
+    // (p, c) with c <= 512 lives at p * 513 + c (p <= c).  thread_local so
+    // the cache persists across calls (the mapping is immutable; a fresh
+    // ~4.5 MB zeroed vector per call cost ~6 ms).
     static const int kCacheCov = 512;
     struct FreqEntry { char s[16]; uint8_t len; };
-    std::vector<FreqEntry> cache((kCacheCov + 1) * (kCacheCov + 1) + 1);
-    std::vector<uint8_t> have((kCacheCov + 1) * (kCacheCov + 1) + 1, 0);
+    thread_local std::vector<FreqEntry> cache(
+        (kCacheCov + 1) * (kCacheCov + 1) + 1);
+    thread_local std::vector<uint8_t> have(
+        (kCacheCov + 1) * (kCacheCov + 1) + 1, 0);
 
     int64_t w = 0;
     size_t chr_len = std::strlen(chr_name);
@@ -637,6 +641,56 @@ int64_t hm_map_mod_sites(const uint8_t* query, int64_t qsize, int32_t qdir,
         if (!emit(qoff, spos[i] + 2, 2)) return -1;
     }
     return n;
+}
+
+// Pileup pass-1 histogram update for one read: classify each mod call by
+// its read-local sequence context (pileup.cpp:237-271 semantics, matching
+// quant/pileup.classify_read_mods: 'C' sites by the forward 3-mer with
+// CpG > CHG > CHH precedence; 'G' sites count as CHH only when preceded by
+// a reverse CHH motif) and bump bins[cls * 256 + prob].  qoffs/probs may
+// contain non-C/G sites (skipped, like the keep mask).
+void hm_hist_mods(const uint8_t* seq, int64_t len,
+                  const int64_t* qoffs, const uint8_t* probs, int64_t n,
+                  int64_t* bins) {
+    static const HDTables kT;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t q = qoffs[k];
+        uint8_t b = seq[q];
+        int cls = -1;
+        if (b == 'C') {
+            uint8_t n1 = q + 1 < len ? seq[q + 1] : 0;
+            uint8_t n2 = q + 2 < len ? seq[q + 2] : 0;
+            if (q + 1 < len && n1 == 'G') cls = 0;
+            else if (q + 2 < len && kT.isH[n1]) {
+                if (n2 == 'G') cls = 1;
+                else if (kT.isH[n2]) cls = 2;
+            }
+        } else if (b == 'G') {
+            if (q - 2 >= 0 && kT.isD[seq[q - 2]] && kT.isD[seq[q - 1]])
+                cls = 2;
+        } else {
+            continue;
+        }
+        if (cls >= 0) ++bins[cls * 256 + probs[k]];
+    }
+}
+
+// Pileup pass-2 accumulation for one spill chunk (pileup.cpp:513-560
+// semantics, matching quant/pileup.accumulate_counts + the motif_map
+// last-write-wins merge): prob >= thresholds[motif] counts into pcov else
+// ncov, and motif_map records the chunk's last motif per position.
+// Arrays are chr_size-long and updated IN PLACE.
+void hm_accum_counts(const int32_t* soff, const uint8_t* prob,
+                     const uint8_t* motif, int64_t n,
+                     const uint8_t* thresholds,
+                     int32_t* pcov, int32_t* ncov, uint8_t* motif_map) {
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t p = soff[i];
+        uint8_t m = motif[i];
+        if (prob[i] >= thresholds[m]) ++pcov[p];
+        else ++ncov[p];
+        motif_map[p] = m;
+    }
 }
 
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
