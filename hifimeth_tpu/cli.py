@@ -94,6 +94,8 @@ def _parse_call(argv):
                     f"(expected auto|slice|folded|pallas)")
         elif a == "--sync-emit":
             cfg.async_emit = False; i += 1
+        elif a == "--decode-workers":
+            cfg.decode_workers = int(argv[i + 1]); i += 2
         elif a == "--stats-json":
             cfg.stats_json = argv[i + 1]; i += 2
         elif a == "--shard":
@@ -118,6 +120,8 @@ def _parse_call(argv):
               "  --flush-bases INT    flush granularity (pallas path; "
               "0 = capacity)\n"
               "  --sync-emit          disable the async emit worker thread\n"
+              "  --decode-workers INT decode/site-scan prefetch threads\n"
+              "           (-1 auto = cores-1 capped at 4; 0 = inline)\n"
               "  --gather-impl {auto,slice,folded,pallas}\n"
               "           window-fetch path (auto: Pallas group-fetch "
               "kernel on TPU, folded on CPU)",
