@@ -569,12 +569,22 @@ class CallEngine:
             cs = c_s if sel is None else c_s[sel]
             if len(cs) == 0:
                 continue
-            bases, rels, idx = plan_groups(
-                (cs - hk).astype(np.int32), G, BL, self.models.kmer, n_rows,
-                extent=CHUNK_LANES + 127)
-            b128 = (bases // 128) * 128              # t-kernel lane alignment
-            rels = rels + (bases - b128)[:, None]
-            ng = len(bases)
+            starts = (cs - hk).astype(np.int32)
+            from ..io import native as nativeio
+            fast = nativeio.plan_groups_fast(starts, G, BL,
+                                             CHUNK_LANES + 127, n_rows)
+            if fast is not None:
+                # native single pass returns lane-aligned bases, adjusted
+                # rels, and the slot->input map (idx None = no group was
+                # span-split, slot order is input order)
+                b128, rels, idx = fast
+            else:
+                bases, rels, idx = plan_groups(
+                    starts, G, BL, self.models.kmer, n_rows,
+                    extent=CHUNK_LANES + 127)
+                b128 = (bases // 128) * 128          # t-kernel lane alignment
+                rels = rels + (bases - b128)[:, None]
+            ng = len(b128)
             chunks = self._decompose_batches((ng + ngrp - 1) // ngrp)
             nb = sum(chunks)
             pad_g = nb * ngrp - ng

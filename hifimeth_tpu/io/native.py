@@ -88,10 +88,14 @@ def _load():
         lib.hm_accum_counts.restype = None
         lib.hm_accum_counts.argtypes = [i32p, u8p, u8p, c_i64, u8p,
                                         i32p, i32p, u8p]
+        lib.hm_plan_groups.restype = c_i64
+        lib.hm_plan_groups.argtypes = [i32p, c_i64, c_i32, c_i32, c_i32,
+                                       c_i64, c_i64, i32p, i32p, i64p, i32p]
     except AttributeError:  # stale .so from before round 4
         lib.hm_map_mod_sites = None
         lib.hm_hist_mods = None
         lib.hm_accum_counts = None
+        lib.hm_plan_groups = None
     _LIB = lib
     return _LIB
 
@@ -408,6 +412,40 @@ def hist_mods(fwd_seq: np.ndarray, qoffs: np.ndarray, probs: np.ndarray,
         _u8p(probs), len(qoffs),
         bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return True
+
+
+def plan_groups_fast(starts_sorted: np.ndarray, group: int, block_rows: int,
+                     extent: int, n_rows: int):
+    """Native group-fetch planning (fast path + greedy span splitting in
+    one C pass): returns (b128 bases (ng,), rels (ng, group), idx) with
+    bases pre-aligned to 128 lanes and idx None when no group was split
+    (slot order == input order); None if the native library is
+    unavailable (caller falls back to ops/gather.plan_groups)."""
+    lib = _load()
+    if not lib or getattr(lib, "hm_plan_groups", None) is None:
+        return None
+    starts_sorted = np.ascontiguousarray(starts_sorted, np.int32)
+    n = len(starts_sorted)
+    if n == 0:
+        return (np.zeros(0, np.int32), np.zeros((0, group), np.int32), None)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    # start at the no-split group count (+ slack for occasional cuts);
+    # retry at the true worst case (n 1-site groups) if the C pass says so
+    for max_groups in ((n + group - 1) // group + 64, n):
+        bases = np.empty(max_groups, np.int32)
+        rels = np.empty((max_groups, group), np.int32)
+        idx = np.empty((max_groups, group), np.int64)
+        trivial = ctypes.c_int32(0)
+        ng = lib.hm_plan_groups(
+            starts_sorted.ctypes.data_as(i32), n, group, block_rows, extent,
+            n_rows, max_groups, bases.ctypes.data_as(i32),
+            rels.ctypes.data_as(i32),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(trivial))
+        if ng >= 0:
+            break
+    return (bases[:ng].copy(), rels[:ng].copy(),
+            None if trivial.value else idx[:ng].copy())
 
 
 def accum_counts(soff: np.ndarray, prob: np.ndarray, motif: np.ndarray,

@@ -693,6 +693,54 @@ void hm_accum_counts(const int32_t* soff, const uint8_t* prob,
     }
 }
 
+// Group-fetch planning (ops/gather.plan_groups + the b128 adjustment in
+// engine/call._call_context_pallas, fast AND greedy-split paths): pack
+// position-sorted window starts into groups of up to `group` sites whose
+// span fits one block (cap = block_rows - extent); a group whose span
+// would exceed the cap is cut at the last site within cap of its first
+// (>= 1 site), exactly the numpy greedy splitter.  bases are 128-lane
+// aligned; rels = start - base128; idx maps each slot back to its input
+// position (pad slots repeat the group's first site/index - their probs
+// are dropped/overwritten with identical values at emit).  *trivial_out
+// is 1 when no split occurred (slot order == input order, so the caller
+// can skip the idx scatter).  bases/rels/idx must hold max_groups groups;
+// returns ng, or -1 if max_groups would be exceeded (caller re-allocates
+// up to the true worst case of n groups and retries).
+int64_t hm_plan_groups(const int32_t* starts, int64_t n, int32_t group,
+                       int32_t block_rows, int32_t extent, int64_t n_rows,
+                       int64_t max_groups,
+                       int32_t* bases, int32_t* rels, int64_t* idx,
+                       int32_t* trivial_out) {
+    const int64_t cap = (int64_t)block_rows - extent;
+    const int64_t maxbase = n_rows - block_rows;
+    int64_t ng = 0;
+    int32_t trivial = 1;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = std::min(i + group, n);
+        int32_t first = starts[i];
+        if (starts[j - 1] - first > cap) {
+            int64_t k = i + 1;
+            while (k < j && starts[k] <= first + cap) ++k;
+            j = k;                       // >= i + 1 by construction
+            trivial = 0;
+        }
+        if (ng >= max_groups) return -1;     // caller re-allocates, retries
+        int64_t base = first < maxbase ? first : maxbase;
+        int32_t b128 = (int32_t)((base / 128) * 128);
+        bases[ng] = b128;
+        int32_t* r = rels + ng * group;
+        int64_t* x = idx + ng * group;
+        int64_t s = i;
+        for (; s < j; ++s) { r[s - i] = starts[s] - b128; x[s - i] = s; }
+        for (; s < i + group; ++s) { r[s - i] = first - b128; x[s - i] = i; }
+        ++ng;
+        i = j;
+    }
+    *trivial_out = trivial;
+    return ng;
+}
+
 void hm_encode_codev1(const uint16_t* frames, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) {
         int32_t s = frames[i];

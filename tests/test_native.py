@@ -187,3 +187,51 @@ def test_scan_bed6_many_chr_runs():
     assert len(names) == n
     assert names[0] == "ctg0" and names[-1] == "ctg%d" % (n - 1)
     np.testing.assert_array_equal(chrid, np.arange(n))
+
+
+def test_plan_groups_fast_matches_numpy():
+    """Native group planning vs ops/gather.plan_groups, both the no-split
+    path (idx None) and the greedy span-splitting path (idx mapping), with
+    the engine's b128 alignment adjustment applied to the numpy result."""
+    from hifimeth_tpu.ops.gather import CHUNK_LANES, plan_groups
+    rng = np.random.default_rng(9)
+    G, BL, n_rows = 32, 2048, 1 << 21
+    ext = CHUNK_LANES + 127
+
+    def check(starts):
+        got = native.plan_groups_fast(starts, G, BL, ext, n_rows)
+        assert got is not None
+        nb, nr, nidx = got
+        bases, rels, idx = plan_groups(starts, G, BL, 401, n_rows,
+                                       extent=ext)
+        b128 = (bases // 128) * 128
+        rels = rels + (bases - b128)[:, None]
+        np.testing.assert_array_equal(nb, b128)
+        if idx is None:
+            assert nidx is None
+            # pad slots may duplicate a different real site of the group;
+            # only real slots must agree
+            n = len(starts)
+            np.testing.assert_array_equal(nr.reshape(-1)[:n],
+                                          rels.reshape(-1)[:n])
+        else:
+            # compare via the scatter both implementations feed: starts
+            # recovered per input position must agree slot-for-slot
+            n = len(starts)
+            a = np.empty(n, np.int64)
+            a[nidx.reshape(-1)] = (nr + nb[:, None]).reshape(-1)
+            b = np.empty(n, np.int64)
+            b[idx.reshape(-1)] = (rels + nb[:, None] if False else
+                                  rels + b128[:, None]).reshape(-1)
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, starts)
+
+    # dense: no splits
+    check(np.sort(rng.integers(400, n_rows - 3000, 5000)).astype(np.int32))
+    # sparse stretches force greedy splits (sites > cap apart)
+    sparse = np.sort(np.concatenate([
+        rng.integers(400, 20000, 200),
+        rng.integers(200000, 210000, 50),
+        np.arange(500000, 500000 + 40 * 4096, 4096),
+    ])).astype(np.int32)
+    check(sparse)
