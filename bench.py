@@ -377,11 +377,12 @@ def main():
                                          args.read_len, genome_len=1 << 20)
             workers = min(physical_core_count(), 16)
             pdt = float("inf")
-            for _ in range(2):
+            for r in range(3):
                 t0 = time.time()
                 run_pileup_parallel(fasta, mbam, os.path.join(td, "p"),
                                     workers=workers, spill_dir=td)
-                pdt = min(pdt, time.time() - t0)
+                if r:        # run 0 = warmup (pool spawn, FASTA/native load)
+                    pdt = min(pdt, time.time() - t0)
         pileup = {
             "pileup_reads_per_sec": round(args.pileup_reads / pdt),
             "pileup_mbases_per_sec": round(pbases / pdt / 1e6, 1),
