@@ -340,14 +340,34 @@ class CallEngine:
         self._emit_exc = None
         self.stats = {ctx: 0 for ctx in cfg.contexts}
         self.stats.update(reads=0, bases=0, called_reads=0)
+        #: per-flush pipeline timeline (HIFIMETH_TRACE=1): (t, stage, key)
+        self._trace_on = bool(os.environ.get("HIFIMETH_TRACE"))
+        self._trace_events: list = []
         self.timers = {"decode": 0.0, "sites": 0.0, "pack": 0.0,
                        "device_dispatch": 0.0, "device_wait": 0.0,
                        "mmbuild": 0.0,
                        # device_dispatch sub-phases (not part of the sum)
                        "d_h2d": 0.0, "d_plan": 0.0, "d_enqueue": 0.0}
 
+    def _trace(self, stage: str, key) -> None:
+        if self._trace_on:
+            self._trace_events.append((time.perf_counter(), stage, id(key)))
+
     def log_timers(self):
         import sys
+        if self._trace_on and self._trace_events:
+            ev = sorted(self._trace_events)
+            t0 = ev[0][0]
+            order: dict = {}
+            for _, _, k in ev:
+                order.setdefault(k, len(order))
+            rows: dict = {}
+            for t, stage, k in ev:
+                rows.setdefault(order[k], []).append(f"{stage}@{t - t0:.3f}")
+            for fid in sorted(rows):
+                print(f"[trace flush {fid}] " + " ".join(rows[fid]),
+                      file=sys.stderr)
+            self._trace_events.clear()
         main = {k: v for k, v in self.timers.items() if not k.startswith("d_")}
         # with async emit, device_wait+mmbuild run on the worker thread and
         # overlap decode/sites/pack - the sum can exceed wall-clock
@@ -750,6 +770,7 @@ class CallEngine:
         if self._async_active():
             self._ensure_pipeline()
             self._check_exc()
+            self._trace("flush", pending)
             self._dispatch_q.put((pending, work))
             self.timers["device_dispatch"] += time.perf_counter() - t0
             return
@@ -806,8 +827,10 @@ class CallEngine:
                     return
                 pending, work = item
                 futures = None
+                self._trace("dispatch0", pending)
                 if self._emit_exc is None and work is not None:
                     futures = self._dispatch_work(work)
+                self._trace("dispatch1", pending)
                 self._resolve_q.put((pending, futures))
             except BaseException as e:  # noqa: BLE001 - re-raised on main
                 self._emit_exc = e
@@ -825,8 +848,10 @@ class CallEngine:
                     return
                 pending, futures = item
                 probs = None
+                self._trace("resolve0", pending)
                 if self._emit_exc is None:
                     probs = self._resolve(futures)
+                self._trace("resolve1", pending)
                 self._emit_q.put((pending, probs))
             except BaseException as e:  # noqa: BLE001 - re-raised on main
                 self._emit_exc = e
@@ -842,11 +867,13 @@ class CallEngine:
                 if item is None:
                     return
                 pending, probs = item
+                self._trace("emit0", pending)
                 if self._emit_exc is None and probs is not None:
                     local: list = []
                     self._build_emit(pending, probs, local)
                     for rec in local:
                         self.sink(rec)
+                self._trace("emit1", pending)
             except BaseException as e:  # noqa: BLE001 - re-raised on main
                 self._emit_exc = e
             finally:
