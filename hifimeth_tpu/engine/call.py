@@ -71,6 +71,17 @@ class CallConfig:
                                          # 448-512 Ki ~1.59M sites/s >
                                          # 384 Ki 1.47M > 256 Ki > 192 Ki >
                                          # cap-sized 1.19M
+    flush_ramp: tuple = (1 << 17, 1 << 18)
+                                         # flush-size RAMP: the first
+                                         # flushes dispatch at these smaller
+                                         # thresholds so the device starts
+                                         # computing while the host is still
+                                         # in its first packing pass (trace:
+                                         # ~0.3 s of a ~0.8 s run elapsed
+                                         # before the first 512 Ki flush).
+                                         # Same compiled programs - smaller
+                                         # flushes just use smaller bucket
+                                         # counts.  () disables
     keep_kinetics: bool = False
     read_batch_size: int = 10000         # stats/progress granularity
     compute_dtype: str = "float32"       # or "bfloat16"
@@ -343,6 +354,7 @@ class CallEngine:
         #: per-flush pipeline timeline (HIFIMETH_TRACE=1): (t, stage, key)
         self._trace_on = bool(os.environ.get("HIFIMETH_TRACE"))
         self._trace_events: list = []
+        self._flush_count = 0
         self.timers = {"decode": 0.0, "sites": 0.0, "pack": 0.0,
                        "device_dispatch": 0.0, "device_wait": 0.0,
                        "mmbuild": 0.0,
@@ -440,6 +452,9 @@ class CallEngine:
         # buffer per flush, so finer flushes would multiply H2D traffic)
         fb = (self.cfg.flush_bases if self.cfg.gather_impl == "pallas"
               else 0) or self.cfg.buffer_bases
+        ramp = self.cfg.flush_ramp
+        if self.cfg.gather_impl == "pallas" and self._flush_count < len(ramp):
+            fb = min(fb, ramp[self._flush_count])
         flush_limit = min(fb, self.cfg.buffer_bases - self._margin)
         if self._fill > self._margin and self._fill + read.size > flush_limit:
             self.flush(out)
@@ -765,6 +780,8 @@ class CallEngine:
             else:
                 work = ("planes", self._planes, self._sites)
         pending = self._pending
+        if work is not None:
+            self._flush_count += 1
         self._reset_buffer()
 
         if self._async_active():
