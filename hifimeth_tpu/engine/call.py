@@ -31,7 +31,7 @@ from ..features import sites as sitefind
 from ..features.read_decode import decode_read
 from ..features.windows import (call_sites_batched, call_sites_grid,
                                 featurize_planes, featurize_planes_folded,
-                                featurize_planes_t, featurize_planes_t_seg)
+                                featurize_planes_t_seg)
 from ..io.bam import BamReader, BamRecord, BamWriter
 from ..io.mmtags import build_mod_tags
 from ..model.cnn import conv_spec, load_params_npz
