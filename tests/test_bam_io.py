@@ -241,3 +241,39 @@ def test_sam_input_through_call(tmp_path):
                             buffer_bases=1 << 13))
         outs[tag] = [(r.qname, r.get_tag("MM")) for r in BamReader(str(out))]
     assert outs["bam"] == outs["sam"]
+
+
+def test_sam_input_through_pileup(tmp_path):
+    """pileup on a SAM-text mod input (next_raw serialization path) produces
+    BEDs byte-identical to the BAM input."""
+    import numpy as np
+
+    from hifimeth_tpu.io.bam import BamReader
+    from hifimeth_tpu.quant.pileup import run_pileup
+
+    import pathlib
+    import sys as _sys
+    _sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    from bench import make_mapped_mod_bam
+
+    fa = tmp_path / "r.fa"
+    bam = tmp_path / "m.bam"
+    make_mapped_mod_bam(str(fa), str(bam), 12, 3000, 40000)
+    reader = BamReader(str(bam))
+    hdr = reader.header
+    lines = [ln for ln in hdr.text.rstrip("\n").split("\n")]
+    # ensure an @SQ line exists for the SAM header refs
+    if not any(ln.startswith("@SQ") for ln in lines):
+        lines.append(f"@SQ\tSN:{hdr.refs[0][0]}\tLN:{hdr.refs[0][1]}")
+    for rec in reader:
+        lines.append(_sam_line(rec, hdr))
+    reader.close()
+    sam = tmp_path / "m.sam"
+    sam.write_text("\n".join(lines) + "\n")
+
+    run_pileup(str(fa), str(bam), str(tmp_path / "a"), spill_dir=str(tmp_path))
+    run_pileup(str(fa), str(sam), str(tmp_path / "b"), spill_dir=str(tmp_path))
+    for ctx in ("CpG", "CHG", "CHH"):
+        a = (tmp_path / f"a.{ctx}.cov.bed").read_bytes()
+        b = (tmp_path / f"b.{ctx}.cov.bed").read_bytes()
+        assert a == b and len(a) > 0
