@@ -365,14 +365,14 @@ def map_mod_sites(query: np.ndarray, qdir: int, chr_seq: np.ndarray,
     has_prob = np.ascontiguousarray(has_prob, np.uint8)
     prob_at = np.ascontiguousarray(prob_at, np.uint8)
     cap = 4 * int(lens.sum()) + 8
-    # grown-on-demand scratch (fresh ~360 KB of allocations per read cost
-    # ~0.3 ms/read in pileup pass 1); results are copied out below
-    sc = _MAP_SCRATCH
-    if sc is None or len(sc[0]) < cap:
-        sc = (np.empty(cap, np.int32), np.empty(cap, np.uint8),
-              np.empty(cap, np.uint8))
-        globals()["_MAP_SCRATCH"] = sc
-    soffs, probs, motifs = sc
+    # grown-on-demand per-process scratch (fresh ~360 KB of allocations per
+    # read cost ~0.3 ms/read in pileup pass 1); results are copied out
+    # below.  NOT thread-safe: pass 1 runs single-threaded per process.
+    global _MAP_SCRATCH
+    if _MAP_SCRATCH is None or len(_MAP_SCRATCH[0]) < cap:
+        _MAP_SCRATCH = (np.empty(cap, np.int32), np.empty(cap, np.uint8),
+                        np.empty(cap, np.uint8))
+    soffs, probs, motifs = _MAP_SCRATCH
     pi = ctypes.c_double(0.0)
     epi = ctypes.c_double(0.0)
     i32 = ctypes.POINTER(ctypes.c_int32)
