@@ -26,7 +26,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..features.read_decode import native_fwd_seq
 from ..features.sites import _IS_H  # A/C/T membership table
 from ..io.bam import BamReader
 from ..io.fasta import FastaDatabase
