@@ -418,6 +418,16 @@ class CallEngine:
         # ship the whole buffer at flush)
         self._seg_size = cap // self.H2D_SEGMENTS
         self._segments: list = []
+        self._reset_flush_state()
+
+    def _reset_flush_state(self):
+        """Start a new FLUSH within the current buffer generation
+        (fill-through packing): pending reads and site lists reset, but the
+        packed planes / shipped segments persist.  Final segments cross the
+        H2D link once per generation (early, overlapped with decode) plus
+        one small interim tail copy per flush, and the 10 MB plane buffer
+        is allocated once per generation instead of once per flush."""
+        self._last_flush_fill = self._fill
         self._pending: list[_PendingRead] = []
         self._sites = {ctx: {"centers": [], "strands": [], "rstart": [], "rend": []}
                        for ctx in self.cfg.contexts}
@@ -455,8 +465,17 @@ class CallEngine:
         ramp = self.cfg.flush_ramp
         if self.cfg.gather_impl == "pallas" and self._flush_count < len(ramp):
             fb = min(fb, ramp[self._flush_count])
-        flush_limit = min(fb, self.cfg.buffer_bases - self._margin)
-        if self._fill > self._margin and self._fill + read.size > flush_limit:
+        packed = self._fill - self._last_flush_fill
+        if self._fill + read.size > self.cfg.buffer_bases - self._margin:
+            # buffer generation exhausted: flush whatever is packed/pending
+            # (unconditional - pending may hold passthrough reads even when
+            # nothing was packed since the last flush), then start a fresh
+            # buffer (planes + device segments)
+            self.flush(out)
+            self._reset_buffer()
+        elif packed > 0 and packed + read.size > fb:
+            # fill-through flush: dispatch this flush's sites, keep packing
+            # into the SAME buffer (already-shipped segments are reused)
             self.flush(out)
         t0 = time.perf_counter()
         start = self._fill
@@ -767,22 +786,35 @@ class CallEngine:
         one flush in flight, resolve it when the next flush lands."""
         t0 = time.perf_counter()
         work = None
-        if self._fill > self._margin:
-            if self.cfg.gather_impl == "pallas":
-                # ship whatever segments the block DMAs can touch (windows
-                # read up to BLOCK_LANES past the last packed base); most of
-                # the buffer is usually already on the device (_ship_segments
-                # from add_read), and the unshipped tail featurizes to zeros
-                need = min(self.cfg.buffer_bases,
-                           self._fill + self.BLOCK_LANES + 128)
-                self._ship_segments(-(-need // self._seg_size))
-                work = ("pallas", tuple(self._segments), self._sites)
-            else:
+        if self._fill > self._last_flush_fill or self._pending:
+            if self._fill > self._last_flush_fill and \
+                    self.cfg.gather_impl == "pallas":
+                # payload = the FINAL segments shipped so far plus one
+                # interim copy of the in-progress segment (windows of this
+                # flush's last read reach up to fill-16; the interim piece
+                # is NOT recorded in self._segments, so when the segment
+                # finishes packing it ships again in final form and later
+                # flushes see the complete data)
+                self._ship_segments(self._fill // self._seg_size)
+                payload = list(self._segments)
+                k = len(payload)
+                if k < self.H2D_SEGMENTS and self._fill > k * self._seg_size:
+                    a = k * self._seg_size
+                    piece = np.ascontiguousarray(
+                        self._planes[:, a:a + self._seg_size])
+                    if self.mesh is not None:
+                        from ..parallel.mesh import replicated
+                        payload.append(jax.device_put(piece,
+                                                      replicated(self.mesh)))
+                    else:
+                        payload.append(jnp.asarray(piece))
+                work = ("pallas", tuple(payload), self._sites)
+            elif self._fill > self._last_flush_fill:
                 work = ("planes", self._planes, self._sites)
         pending = self._pending
         if work is not None:
             self._flush_count += 1
-        self._reset_buffer()
+        self._reset_flush_state()
 
         if self._async_active():
             self._ensure_pipeline()
