@@ -322,6 +322,42 @@ def main():
     import tempfile
     from hifimeth_tpu.engine.call import CallConfig, run_call
 
+    # -- pileup leg FIRST (reference speed protocol measures pileup wall
+    # too, README.md:121-126): the 2-core VM's workers would otherwise
+    # contend with the jax/TPU engine threads the call leg leaves behind
+    # (observed 413 vs 938 reads/s for the identical workload) ----------
+    pileup = {}
+    if not args.skip_pileup:
+        from hifimeth_tpu.quant.pileup import run_pileup_parallel
+        from hifimeth_tpu.utils.system import physical_core_count
+
+        with tempfile.TemporaryDirectory() as td:
+            fasta = os.path.join(td, "ref.fa")
+            mbam = os.path.join(td, "mod.bam")
+            print(f"[bench] generating pileup input "
+                  f"({args.pileup_reads} x {args.read_len} bp mapped "
+                  f"mod reads)...", file=sys.stderr)
+            pbases = make_mapped_mod_bam(fasta, mbam, args.pileup_reads,
+                                         args.read_len, genome_len=1 << 20)
+            workers = min(physical_core_count(), 16)
+            pdt = float("inf")
+            for r in range(3):
+                t0 = time.time()
+                run_pileup_parallel(fasta, mbam, os.path.join(td, "p"),
+                                    workers=workers, spill_dir=td)
+                if r:        # run 0 = warmup (pool spawn, FASTA/native load)
+                    pdt = min(pdt, time.time() - t0)
+        pileup = {
+            "pileup_reads_per_sec": round(args.pileup_reads / pdt),
+            "pileup_mbases_per_sec": round(pbases / pdt / 1e6, 1),
+            "pileup_wall_s": round(pdt, 2),
+            "pileup_workers": workers,
+        }
+        print(f"[bench] pileup: {args.pileup_reads} reads "
+              f"({pbases / 1e6:.1f} Mb) in {pdt:.2f} s "
+              f"({workers} workers)", file=sys.stderr)
+
+
     with tempfile.TemporaryDirectory() as td:
         bam = os.path.join(td, "bench.bam")
         print(f"[bench] generating {args.reads} x {args.read_len} bp reads "
@@ -359,39 +395,6 @@ def main():
                 mfu = {"device_probe": f"FAILED: {e}"}
             if "device_tflops" in mfu:
                 mfu["device_mfu"] = round(mfu["device_tflops"] / peak, 4)
-
-    # -- pileup leg (reference speed protocol measures pileup wall too,
-    # README.md:121-126) -----------------------------------------------------
-    pileup = {}
-    if not args.skip_pileup:
-        from hifimeth_tpu.quant.pileup import run_pileup_parallel
-        from hifimeth_tpu.utils.system import physical_core_count
-
-        with tempfile.TemporaryDirectory() as td:
-            fasta = os.path.join(td, "ref.fa")
-            mbam = os.path.join(td, "mod.bam")
-            print(f"[bench] generating pileup input "
-                  f"({args.pileup_reads} x {args.read_len} bp mapped "
-                  f"mod reads)...", file=sys.stderr)
-            pbases = make_mapped_mod_bam(fasta, mbam, args.pileup_reads,
-                                         args.read_len, genome_len=1 << 20)
-            workers = min(physical_core_count(), 16)
-            pdt = float("inf")
-            for r in range(3):
-                t0 = time.time()
-                run_pileup_parallel(fasta, mbam, os.path.join(td, "p"),
-                                    workers=workers, spill_dir=td)
-                if r:        # run 0 = warmup (pool spawn, FASTA/native load)
-                    pdt = min(pdt, time.time() - t0)
-        pileup = {
-            "pileup_reads_per_sec": round(args.pileup_reads / pdt),
-            "pileup_mbases_per_sec": round(pbases / pdt / 1e6, 1),
-            "pileup_wall_s": round(pdt, 2),
-            "pileup_workers": workers,
-        }
-        print(f"[bench] pileup: {args.pileup_reads} reads "
-              f"({pbases / 1e6:.1f} Mb) in {pdt:.2f} s "
-              f"({workers} workers)", file=sys.stderr)
 
     # -- parity gates on the live hardware (never fail the bench run; a
     # failure string in the JSON is driver-visible either way) --------------
