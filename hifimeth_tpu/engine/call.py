@@ -288,6 +288,13 @@ def enable_compilation_cache():
 
 class CallEngine:
     def __init__(self, cfg: CallConfig):
+        # Resolve auto/rounded values on a private COPY: constructing an
+        # engine must never mutate the caller's config (two engines built
+        # from one CallConfig see identical settings; the reference's
+        # option struct is likewise read-only after parse,
+        # mod_options.cpp:61-134).
+        import dataclasses
+        cfg = dataclasses.replace(cfg)
         self.cfg = cfg
         if cfg.gather_impl == "auto":
             # pallas group-fetch kernel on real TPUs (10x the XLA slice
@@ -771,7 +778,16 @@ class CallEngine:
         # NOTE: do NOT request result copies here to "kick" the remote
         # queue - copy_to_host_async on still-queued results hangs the
         # axon tunnel (observed: a warm bench stalling >20 min).  The
-        # copies are batched at _resolve time instead.
+        # copies are batched at _resolve time instead.  Why that is safe
+        # even at zero pipeline depth (the resolve worker may pick a flush
+        # up the instant dispatch enqueues it): the hang mode was copy
+        # requests RACING program enqueue on the same thread mid-flush;
+        # here the _resolve_q handoff happens only after _dispatch_work
+        # has returned, i.e. after every one of the flush's programs is
+        # enqueued, so the "all enqueues before any copy" ordering holds
+        # regardless of timing.  If a future tunnel regression reproduces
+        # the hang anyway, set HIFIMETH_RESOLVE_DELAY_MS to reintroduce a
+        # dispatch->resolve delay and bisect (see _resolve).
         return futures
 
     def flush(self, out: list):
@@ -964,6 +980,12 @@ class CallEngine:
     def _resolve(self, futures):
         """Collect device results into host prob arrays (stage 3)."""
         t0 = time.perf_counter()
+        # Diagnostic knob (see the NOTE in _dispatch_work): a forced
+        # dispatch->resolve delay to bisect any future recurrence of the
+        # copy_to_host_async tunnel hang.  Off (0) in production.
+        delay_ms = float(os.environ.get("HIFIMETH_RESOLVE_DELAY_MS", 0))
+        if delay_ms > 0:
+            time.sleep(delay_ms / 1e3)
         # Start every chunk's D2H copy before blocking on any: through a
         # remote-device tunnel each np.asarray is a full round-trip, so
         # serial fetches of the ~6 per-flush chunk results cost ~6 RTTs

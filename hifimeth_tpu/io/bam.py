@@ -442,6 +442,14 @@ class BamReader:
                     raise BamFormatError(
                         "uncompressed BAM input is not supported; "
                         "compress with bgzip")
+                if head == b"CRAM":
+                    # htslib-surface parity (sam_batch.hpp:12-23): the
+                    # reference reads CRAM through htslib; we detect the
+                    # magic and say so instead of failing with a confusing
+                    # SAM parse error
+                    raise BamFormatError(
+                        f"{path}: CRAM input is not supported; convert "
+                        f"with `samtools view -b in.cram -o in.bam`")
                 # ASCII content: plain-text SAM
                 self._sam = SamTextReader(path)
                 self.header = self._sam.header
@@ -450,7 +458,13 @@ class BamReader:
                 self._init_bam(path, threads, chunk)
                 return
             except (BamFormatError, ValueError):
-                # gzip/BGZF stream whose payload is not BAM: gzipped SAM
+                # gzip/BGZF stream whose payload is not BAM: gzipped SAM.
+                # Close the half-constructed BAM layer first or its open fd
+                # + inflate thread pool leak (round-4 ADVICE).
+                bgzf = getattr(self, "_bgzf", None)
+                if bgzf is not None:
+                    bgzf.close()
+                    self._bgzf = None
                 self._sam = SamTextReader(path)
                 self.header = self._sam.header
                 return
@@ -494,6 +508,13 @@ class BamReader:
         if raw is None:
             raise StopIteration
         return BamRecord.from_bytes(raw)
+
+    @property
+    def is_sam_text(self) -> bool:
+        """True when the input is SAM text (records are born parsed; callers
+        that prefer raw views should take records via next() instead and
+        skip the to_bytes/from_bytes round-trip, round-4 ADVICE)."""
+        return self._sam is not None
 
     def next_raw(self) -> memoryview | None:
         """Next record body (without the leading block_size) or None at EOF.

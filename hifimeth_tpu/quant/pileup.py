@@ -233,21 +233,35 @@ def _pass1_stream(reader, hdr, db, cfg, shard, bins, spill) -> int:
     from ..io.bam import BamRecord
     n_reads = 0
     read_id = -1
+    sam_text = getattr(reader, "is_sam_text", False)
     while True:
-        raw = reader.next_raw()
-        if raw is None:
-            break
-        read_id += 1
-        # cheap ownership check BEFORE record parse: non-owned reads cost
-        # only the shared BGZF inflate, not BamRecord.from_bytes (the
-        # reference's workers likewise skip by read-id under the reader
-        # mutex, sam_batch.hpp:38-54).  The view must be released before
-        # the next next_raw() or the rolling buffer cannot compact.
-        if not shard.owns_read(read_id):
+        if sam_text:
+            # SAM text births parsed records; taking them directly skips
+            # the to_bytes/from_bytes round-trip next_raw() would add
+            # (round-4 ADVICE).  Ownership still checked before any work
+            # beyond the unavoidable line parse.
+            rec = next(reader, None)
+            if rec is None:
+                break
+            read_id += 1
+            if not shard.owns_read(read_id):
+                continue
+        else:
+            raw = reader.next_raw()
+            if raw is None:
+                break
+            read_id += 1
+            # cheap ownership check BEFORE record parse: non-owned reads
+            # cost only the shared BGZF inflate, not BamRecord.from_bytes
+            # (the reference's workers likewise skip by read-id under the
+            # reader mutex, sam_batch.hpp:38-54).  The view must be
+            # released before the next next_raw() or the rolling buffer
+            # cannot compact.
+            if not shard.owns_read(read_id):
+                raw.release()
+                continue
+            rec = BamRecord.from_bytes(raw)
             raw.release()
-            continue
-        rec = BamRecord.from_bytes(raw)
-        raw.release()
         n_reads += 1
         if n_reads % 100000 == 0:
             log("%10d reads processed", n_reads)

@@ -55,9 +55,22 @@ class _ChrAccum:
             self.motif[off] = motif
 
 
+def _zero_cov_error(name: str, pos: int) -> ValueError:
+    """A Bismark row with pcov=ncov=0 at a motif position: the reference
+    hard-aborts on this (hbn_assert(cov > 0), cov_to_bed.cpp:27) because
+    real Bismark .cov files only list covered positions.  Pin the behavior
+    as a clean error instead of an accidental nan row."""
+    return ValueError(
+        f"cov2bed: zero total coverage at {name}:{pos} (the reference "
+        f"asserts cov > 0, cov_to_bed.cpp:27); remove 0/0 rows from the "
+        f"Bismark input")
+
+
 def _dump_chr(out, name: str, acc: _ChrAccum) -> None:
     for i in np.flatnonzero(np.asarray([m is not None for m in acc.motif])):
         cov = int(acc.pcov[i] + acc.ncov[i])
+        if cov <= 0:
+            raise _zero_cov_error(name, int(i))
         freq = 100.0 * acc.pcov[i] / cov
         out.write(f"{name}\t{i}\t{i + 1}\t{freq:g}\t{int(acc.pcov[i])}"
                   f"\t{int(acc.ncov[i])}\t{acc.motif[i]}\n")
@@ -149,6 +162,9 @@ def _run_cov2bed_vec(db, ctx: str, names, chrid, soff, pcov, ncov, out):
         fs += int(fwd.sum())
         rs += int(rev.sum())
         rows = np.flatnonzero(mid)
+        zero = rows[(pc[rows] + nc[rows]) <= 0]
+        if len(zero):
+            raise _zero_cov_error(db.seq_name(sid), int(zero[0]))
         for lo in range(0, len(rows), 1 << 20):
             sel = rows[lo:lo + (1 << 20)]
             out.write(native.bed_rows7(

@@ -169,6 +169,20 @@ def _sam_line(rec, header):
     return "\t".join(cols)
 
 
+def test_cram_input_rejected_clearly(tmp_path):
+    """A CRAM file must be detected by magic and rejected with a conversion
+    hint, not fail with a confusing SAM parse error (the reference reads
+    CRAM through htslib's sam_open auto-detection, sam_batch.hpp:12-23)."""
+    import pytest
+
+    from hifimeth_tpu.io.bam import BamFormatError, BamReader
+
+    cram = tmp_path / "x.cram"
+    cram.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
+    with pytest.raises(BamFormatError, match="CRAM.*samtools view"):
+        BamReader(str(cram))
+
+
 def test_sam_text_input_roundtrip(tmp_path):
     """SAM text (plain and gzipped) parses into records identical to the
     BAM path - the reference accepts SAM via htslib auto-detection

@@ -199,8 +199,11 @@ def test_cov2bed_vectorized_matches_loop(tmp_path):
         for name, size in (("c1", 2500), ("c2", 1500)):
             pos = np.sort(rng.choice(size, size // 2, replace=False)) + 1
             for s in pos.tolist():
-                p, n = int(rng.integers(0, 20)), int(rng.integers(0, 20))
-                f.write(f"{name}\t{s}\t{s}\t{100*p/max(p+n,1):g}\t{p}\t{n}\n")
+                # p + n >= 1: real Bismark .cov files only list covered
+                # positions (0/0 rows are a pinned error, see
+                # test_cov2bed_zero_coverage_row)
+                p, n = int(rng.integers(0, 20)), int(rng.integers(1, 20))
+                f.write(f"{name}\t{s}\t{s}\t{100*p/(p+n):g}\t{p}\t{n}\n")
     for ctx in ("CpG", "CHG", "CHH"):
         a, b = tmp_path / f"{ctx}.vec.bed", tmp_path / f"{ctx}.loop.bed"
         run_cov2bed(str(fasta), ctx, str(cov), str(a))
@@ -211,6 +214,36 @@ def test_cov2bed_vectorized_matches_loop(tmp_path):
         finally:
             native._LIB = orig
         assert a.read_bytes() == b.read_bytes(), ctx
+
+
+def test_cov2bed_zero_coverage_row(tmp_path):
+    """A pcov=ncov=0 Bismark row at a motif position is a pinned ERROR in
+    both the vectorized and row-loop paths: the reference hard-aborts on it
+    (hbn_assert(cov > 0), cov_to_bed.cpp:27); real Bismark .cov files only
+    list covered positions.  Regression for the accidental nan row + numpy
+    RuntimeWarning the loop path used to emit."""
+    import warnings
+
+    import pytest
+    from hifimeth_tpu.io import native
+    from hifimeth_tpu.tools.cov2bed import run_cov2bed
+
+    fa = tmp_path / "r.fa"
+    _write_fasta(fa, {"c1": "AACGGATCGA"})
+    cov = tmp_path / "in.cov"                 # 1-based pos 4 = the C of CG
+    cov.write_text("c1\t4\t4\t0\t0\t0\n")
+    out = tmp_path / "o.bed"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # nan divide must not happen
+        with pytest.raises(ValueError, match="zero total coverage"):
+            run_cov2bed(str(fa), "CpG", str(cov), str(out))
+        orig = native._LIB
+        try:
+            native._LIB = False               # force the row-loop fallback
+            with pytest.raises(ValueError, match="zero total coverage"):
+                run_cov2bed(str(fa), "CpG", str(cov), str(out))
+        finally:
+            native._LIB = orig
 
 
 def test_cov2bed_stdin_unsorted_fallback(tmp_path, monkeypatch):
