@@ -385,6 +385,13 @@ def map_mod_sites(query: np.ndarray, qdir: int, chr_seq: np.ndarray,
         soffs.ctypes.data_as(i32), _u8p(probs), _u8p(motifs), cap)
     if n == -1:
         raise ValueError("map_mod_sites: record buffer overflow")
+    if n == -3:
+        # HIFIMETH_DEBUG_ALIGN column self-check tripped (reference parity:
+        # hbn_assert aborts, bam_info.cpp:399-416) - fail LOUDLY, never
+        # silently fall back and spill corrupt sites
+        raise ValueError(
+            "map_mod_sites: alignment column self-check failed "
+            "(HIFIMETH_DEBUG_ALIGN); CIGAR/sequence mismatch in input?")
     if n < 0:
         return None      # out-of-bounds alignment: Python path decides
     return pi.value, epi.value, soffs[:n].copy(), probs[:n].copy(), \

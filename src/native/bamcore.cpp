@@ -561,6 +561,30 @@ int64_t hm_map_mod_sites(const uint8_t* query, int64_t qsize, int32_t qdir,
         }
     }
 
+    // Runtime column self-check (reference parity: bam_info.cpp:399-416
+    // hbn_asserts every alignment column against the raw sequences).  Off
+    // by default; enabled with HIFIMETH_DEBUG_ALIGN=1 for real-data runs
+    // where CIGAR corner cases the synthetic tests never exercise could
+    // surface.  Returns -3 so the Python wrapper raises a clear error
+    // instead of silently spilling corrupt sites.
+    static const int debug_align = [] {
+        const char* e = getenv("HIFIMETH_DEBUG_ALIGN");
+        return (e && e[0] && e[0] != '0') ? 1 : 0;
+    }();
+    if (debug_align) {
+        if (qi > qsize || si > chr_len) return -3;
+        for (int64_t i = 0; i < n_cols; ++i) {
+            bool qg = qas[i] == GAP, sg = sas[i] == GAP;
+            if (qg && sg) return -3;
+            if (!qg && (qpos[i] < 0 || qpos[i] >= qsize ||
+                        qas[i] != query[qpos[i]])) return -3;
+            if (!sg && (spos[i] < pos || spos[i] >= chr_len ||
+                        sas[i] != chr_seq[spos[i]])) return -3;
+            if (i && qpos[i] < qpos[i - 1]) return -3;
+            if (i && spos[i] < spos[i - 1]) return -3;
+        }
+    }
+
     // identities (bam_info.cpp:11-98 semantics via quant/alignment.py)
     int64_t match = 0;
     for (int64_t i = 0; i < n_cols; ++i) match += (qas[i] == sas[i]);

@@ -235,3 +235,41 @@ def test_plan_groups_fast_matches_numpy():
         np.arange(500000, 500000 + 40 * 4096, 4096),
     ])).astype(np.int32)
     check(sparse)
+
+
+def test_map_mod_sites_debug_align_selfcheck():
+    """HIFIMETH_DEBUG_ALIGN=1 enables the runtime column self-check in
+    hm_map_mod_sites (reference parity: hbn_assert on every alignment
+    column, bam_info.cpp:399-416).  The flag is latched at the first call
+    per process, so run in a subprocess; valid input must produce results
+    identical to the unchecked path."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np
+from hifimeth_tpu.io import native
+
+rng = np.random.default_rng(5)
+chrseq = rng.choice(list(b"ACGT"), 500).astype(np.uint8)
+query = np.concatenate([chrseq[100:150], [ord("A")], chrseq[150:200]])
+ops = np.array([0, 1, 0], np.uint8)          # 50M 1I 50M
+lens = np.array([50, 1, 50], np.int32)
+has = np.ones(len(query), np.uint8)
+prob = rng.integers(0, 256, len(query)).astype(np.uint8)
+r = native.map_mod_sites(query, 0, chrseq, 100, ops, lens, has, prob)
+assert r is not None
+pi, epi, soffs, probs, motifs = r
+assert pi > 90.0
+print("OK", len(soffs), round(pi, 3))
+"""
+    env = dict(os.environ)
+    base = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                          env=env, capture_output=True, text=True)
+    assert base.returncode == 0, base.stderr
+    env["HIFIMETH_DEBUG_ALIGN"] = "1"
+    checked = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                             env=env, capture_output=True, text=True)
+    assert checked.returncode == 0, checked.stderr
+    assert checked.stdout == base.stdout
