@@ -1,0 +1,348 @@
+"""Fully-fused Pallas TPU kernel: window gather + DNAModNet forward in VMEM.
+
+The round-4 production path (ops/gather.group_windows_t + XLA convs) writes
+the (B, 8, 512) window tensor and every conv activation to HBM between ops;
+at 8192 sites/batch that is hundreds of MB of intermediate traffic and the
+measured ceiling is 2.4 ms/batch = 37% MFU (docs/BENCHMARKS.md roofline).
+This kernel keeps the ENTIRE per-site network - gather, bn0, conv1..conv8,
+fc1, fc2 (reference model: /root/reference/training/model_cnn.py:8-85, with
+the shipped ks1=11 geometry) - in VMEM and writes only (B, 128) logit rows.
+
+The core idea is OVERLAP SHARING: candidate sites are ~2.5 bp apart, so the
+401-wide windows of one 32-site group overlap ~100x.  conv1 is therefore
+computed ONCE per block at stride 1 over all 2048 block anchors (one
+(128, 88) @ (88, 2048) matmul ~= 1.4 MFLOP/site instead of 4.4+ per site),
+transposed once, and phase-split into 4 anchor-parity banks; each site then
+reads its conv2 inputs as contiguous dynamic slices of the banks.  The
+reference's per-window ZERO padding (torch Conv1d pad=1 pads the window,
+not the read) differs from block values only at each window's edge taps, so
+two per-site rank-1 corrections (output columns j=0 and j=196) restore
+exact per-window semantics before the conv1 bias/ReLU is applied.
+
+Mosaic constraints that shaped the implementation
+(scripts/probe_mosaic_ops*.py):
+ - strided slicing works on REFS only (never values) and only on sublanes;
+ - lane-concat needs 128-lane-aligned pieces; channel dims are zero-padded
+   to 128 so every deep conv step is matmuls with K in {128, 384};
+ - no in-kernel flip: reverse-strand sites use a PRE-REVERSED table
+   (reverse_table) and mirrored window starts;
+ - values cannot cross @pl.when, so the 4-way anchor-parity extraction
+   writes into scratch refs.
+
+Deep layers (conv3..conv8 + fc) pack PACK=8 sites along sublanes with
+power-of-two per-site strides (128, 64, 32, 16, 8, 4, 2); iota masks zero
+pad rows and each site's first left-tap row.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KMER = 401
+LO1 = 197                 # conv1 output length: (401 + 2 - 11) // 2 + 1
+GROUP = 32                # sites per HBM block DMA (matches gather kernel)
+PACK = 8                  # sites per deep-layer matmul
+BLOCK_LANES = 2048
+#: per-site sublane strides of the packed deep-layer tensors
+S3, S4, S5, S6, S7, S8 = 128, 64, 32, 16, 8, 4
+#: valid rows per site at each deep layer's OUTPUT
+V3, V4, V5, V6, V7, V8 = 99, 50, 25, 13, 7, 4
+V_OUT = 2                 # conv8 output length
+
+
+# ---------------------------------------------------------------------------
+# Host-side weight preparation
+
+
+def prepare_fused_params(params) -> dict:
+    """Rearrange an inference params pytree (model/cnn.py layout) into the
+    matmul-layout arrays the fused kernel consumes.  All channel dims are
+    zero-padded to 128; bn0 is folded into conv1 (affine per channel)."""
+    convs = params["convs"]
+    if len(convs) != 8:
+        raise ValueError("fused kernel supports the 8-conv DNAModNet only")
+    w1 = np.asarray(convs[0]["w"], np.float32)          # (K, 8, 128) WIO
+    if w1.shape != (11, 8, 128):
+        raise ValueError(f"unexpected conv1 geometry {w1.shape}")
+    scale = np.asarray(params["bn0"]["scale"], np.float32)[:8]
+    shift = np.asarray(params["bn0"]["shift"], np.float32)[:8]
+    w1s = w1 * scale[None, :, None]                     # bn scale folded
+    w1m = np.zeros((128, 88), np.float32)
+    for k in range(11):
+        w1m[:, 8 * k:8 * k + 8] = w1s[k].T              # (128, 8)
+    # bn shift folded into the conv1 bias: every tap contributes
+    # w1[k,:,:].T @ shift; window-edge outputs j=0 / j=196 lose one tap
+    # (zero pad), handled per site together with the data-side correction
+    tap = np.einsum("kco,c->ko", w1, shift)             # (11, 128)
+    c1bias = (tap.sum(axis=0)
+              + np.asarray(convs[0]["b"], np.float32)).reshape(1, 128)
+    prep = {
+        "w1m": w1m,
+        "c1bias": c1bias,
+        "w1tap0": np.ascontiguousarray(w1s[0]),         # (8, 128)
+        "w1tap10": np.ascontiguousarray(w1s[10]),
+        "corr0c": tap[0].reshape(1, 128),
+        "corr196c": tap[10].reshape(1, 128),
+        "wm": [], "bm": [],
+    }
+    for li in range(1, 8):
+        w = np.asarray(convs[li]["w"], np.float32)      # (3, Cin, Cout)
+        b = np.asarray(convs[li]["b"], np.float32)
+        K, cin, cout = w.shape
+        assert K == 3, (li, w.shape)
+        # three separate (128, 128) tap matrices: left = x[2j-1], mid =
+        # x[2j], right = x[2j+1]; no patch concat needed in-kernel
+        wk = np.zeros((3, 128, 128), np.float32)
+        for k in range(3):
+            wk[k, :cin, :cout] = w[k]
+        bm = np.zeros((1, 128), np.float32)
+        bm[0, :cout] = b
+        prep["wm"].append(wk)
+        prep["bm"].append(bm)
+    # fc1: torch flatten of (C=64, L=2) is c-major (index c*2 + l)
+    fw = np.asarray(params["fc1"]["w"], np.float32)     # (128, 256)
+    f0 = np.zeros((128, 256), np.float32)
+    f1 = np.zeros((128, 256), np.float32)
+    f0[:64] = fw[0::2]                                  # l = 0 rows
+    f1[:64] = fw[1::2]                                  # l = 1 rows
+    prep["fcw0"] = f0
+    prep["fcw1"] = f1
+    prep["fcb1"] = np.asarray(params["fc1"]["b"], np.float32).reshape(1, 256)
+    f2 = np.asarray(params["fc2"]["w"], np.float32)     # (256, 2)
+    fcw2 = np.zeros((256, 128), np.float32)
+    fcw2[:, :2] = f2
+    fcb2 = np.zeros((1, 128), np.float32)
+    fcb2[0, :2] = np.asarray(params["fc2"]["b"], np.float32)
+    prep["fcw2"] = fcw2
+    prep["fcb2"] = fcb2
+    return {k: (jnp.asarray(v) if not isinstance(v, list)
+                else [jnp.asarray(a) for a in v]) for k, v in prep.items()}
+
+
+@jax.jit
+def reverse_table(feats_t: jax.Array) -> jax.Array:
+    """Pre-reversed feature table for reverse-strand sites: lane flip +
+    the complement/swap channel permutation (features/windows.py
+    REV_CHANNEL_PERM).  A reverse site's window is then a FORWARD
+    extraction at mirrored coordinates - no in-kernel flip needed."""
+    perm = jnp.asarray(np.array([3, 2, 1, 0, 6, 7, 4, 5], np.int32))
+    return feats_t[perm, ::-1]
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+
+
+def _roll_l(x, r):
+    """Left-rotate lanes by r (static)."""
+    L = x.shape[-1]
+    return pltpu.roll(x, (L - r) % L, axis=1)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _conv_step(src, n_rows, s_in, wk_ref, b_ref, v_out, s_out):
+    """One stride-2 K=3 conv over a packed scratch ref (positions on
+    sublanes, site s at rows [s*s_in, (s+1)*s_in), invalid rows zero).
+    out = left @ W0 + mid @ W1 + right @ W2 - three full-depth matmuls,
+    no patch materialization."""
+    half = n_rows // 2
+    E = src[0:n_rows:2, :]                       # x[2j]
+    O = src[1:n_rows:2, :]                       # x[2j+1]
+    left = jnp.concatenate([jnp.zeros((1, 128), jnp.float32), O[:half - 1]],
+                           axis=0)               # x[2j-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (half, 128), 0)
+    left = jnp.where((row & (s_in // 2 - 1)) == 0, 0.0, left)
+    out = (_mm(left, wk_ref[0]) + _mm(E, wk_ref[1]) + _mm(O, wk_ref[2])
+           + b_ref[:])
+    out = jnp.maximum(out, 0.0)
+    return jnp.where((row & (s_out - 1)) < v_out, out, 0.0)
+
+
+def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
+                  feats_ref,                     # (8, N) table ANY/HBM
+                  w1m_ref, c1b_ref, t0_ref, t10_ref, c0c_ref, c196_ref,
+                  wk2, bm2, wk3, bm3, wk4, bm4, wk5, bm5,
+                  wk6, bm6, wk7, bm7, wk8, bm8,
+                  fcw0_ref, fcw1_ref, fcb1_ref, fcw2_ref, fcb2_ref,
+                  out_ref,                       # (1, GROUP, 128) VMEM
+                  blk, t1, pbank, eol, pk, pg, sems):
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+
+    def block_dma(i, slot):
+        base = pl.multiple_of(bases_ref[i], 128)
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(base, BLOCK_LANES)],
+            blk.at[slot], sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        block_dma(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        block_dma(g + 1, (g + 1) % 2).start()
+
+    slot = g % 2
+    block_dma(g, slot).wait()
+
+    # ---- block-level stride-1 conv1 over all 2048 anchors --------------
+    # BT rows [8k:8k+8] = block lanes shifted so lane a holds tap
+    # x[a + k - 1]; k=0 right-rotates by 1 (wrap lane is corrected or
+    # unused per site), left-rotations wrap into anchors > 1646 which no
+    # site reads (rel <= 1535, window extent 401).
+    x = blk[slot]                                # (8, 2048)
+    pieces = [_roll_l(x, k - 1) if k else pltpu.roll(x, 1, axis=1)
+              for k in range(11)]
+    BT = jnp.concatenate(pieces, axis=0)         # (88, 2048)
+    o1 = _mm(w1m_ref[:], BT)                     # (128, 2048) RAW conv1
+    t1[:, :] = o1.T                              # anchors on sublanes
+    # anchor-parity banks: bank d row m = anchor 4m + d
+    pbank[0] = t1[0:BLOCK_LANES:4, :]
+    pbank[1] = t1[1:BLOCK_LANES:4, :]
+    pbank[2] = t1[2:BLOCK_LANES:4, :]
+    pbank[3] = t1[3:BLOCK_LANES:4, :]
+
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    for sb in range(GROUP // PACK):              # 4 sub-batches
+        def site_body(i, _):
+            rel = rels_ref[g, sb * PACK + i]
+            h = rel >> 2
+            d = rel & 3
+            # ---- 4-way anchor-parity extraction into eol scratch ------
+            # eol[0] = E raw  (x2[2j']  = conv1[rel + 4j'])
+            # eol[1] = O raw  (x2[2j'+1] = conv1[rel + 4j' + 2])
+            # eol[2] = left raw (x2[2j'-1] = conv1[rel + 4j' - 2])
+            for dd in range(4):
+                @pl.when(d == dd)
+                def _(dd=dd):
+                    eol[0] = pbank[dd, pl.ds(h, 128), :]
+                    if dd < 2:
+                        eol[1] = pbank[dd + 2, pl.ds(h, 128), :]
+                        hl = jnp.maximum(h - 1, 0)
+                        B = pbank[dd + 2, pl.ds(hl, 128), :]
+                        Bs = jnp.concatenate(
+                            [jnp.zeros((1, 128), jnp.float32), B[:127]],
+                            axis=0)
+                        eol[2] = jnp.where(h > 0, B, Bs)
+                    else:
+                        eol[1] = pbank[dd - 2, pl.ds(h + 1, 128), :]
+                        eol[2] = pbank[dd - 2, pl.ds(h, 128), :]
+
+            # ---- per-site conv1 edge corrections + bias + ReLU --------
+            # window pad: output j=0 must not see tap k=0 (= block lane
+            # rel-1) and j=196 must not see tap k=10 (= block lane
+            # rel+401); both anchors live in the E bank (rows 0 and 98)
+            im1 = (rel + BLOCK_LANES - 1) & (BLOCK_LANES - 1)
+            xm1 = blk[slot, :, pl.ds(im1, 1)]            # (8, 1)
+            xp1 = blk[slot, :, pl.ds(rel + KMER, 1)]     # (8, 1)
+            c0 = jax.lax.dot_general(
+                xm1, t0_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + c0c_ref[:]
+            c196 = jax.lax.dot_general(
+                xp1, t10_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + c196_ref[:]
+            E = eol[0]
+            E = E - jnp.where(row128 == 0, 1.0, 0.0) * c0
+            E = E - jnp.where(row128 == 98, 1.0, 0.0) * c196
+            # activations: relu(raw + bias), zero rows beyond the window
+            # (x2[m] defined for m < 197: E rows < 99, O rows < 98,
+            # left rows < 99 with row 0 = conv pad zero)
+            E = jnp.where(row128 < 99, jnp.maximum(E + c1b_ref[:], 0.0), 0.0)
+            O = jnp.where(row128 < 98,
+                          jnp.maximum(eol[1] + c1b_ref[:], 0.0), 0.0)
+            left = jnp.where((row128 < 99) & (row128 > 0),
+                             jnp.maximum(eol[2] + c1b_ref[:], 0.0), 0.0)
+
+            # ---- conv2 (three full-depth matmuls) ---------------------
+            o2 = (_mm(left, wk2[0]) + _mm(E, wk2[1]) + _mm(O, wk2[2])
+                  + bm2[:])
+            o2 = jnp.maximum(o2, 0.0)
+            o2 = jnp.where(row128 < V3, o2, 0.0)         # 99 valid rows
+            pk[pl.ds(i * S3, S3), :] = o2
+            return 0
+
+        jax.lax.fori_loop(0, PACK, site_body, 0)
+
+        # ---- deep layers over the packed PACK sites -------------------
+        xv = _conv_step(pk, PACK * S3, S3, wk3, bm3, V4, S4)   # (512, 128)
+        pg[0:PACK * S4, :] = xv
+        xv = _conv_step(pg, PACK * S4, S4, wk4, bm4, V5, S5)   # (256, 128)
+        pk[0:PACK * S5, :] = xv
+        xv = _conv_step(pk, PACK * S5, S5, wk5, bm5, V6, S6)   # (128, 128)
+        pg[0:PACK * S6, :] = xv
+        xv = _conv_step(pg, PACK * S6, S6, wk6, bm6, V7, S7)   # (64, 128)
+        pk[0:PACK * S7, :] = xv
+        xv = _conv_step(pk, PACK * S7, S7, wk7, bm7, V8, S8)   # (32, 128)
+        pg[0:PACK * S8, :] = xv
+        xv = _conv_step(pg, PACK * S8, S8, wk8, bm8, V_OUT, 2)  # (16, 128)
+        pk[0:PACK * 2, :] = xv
+        # ---- fc over the PACK sites (h (2, 64) at rows [2s, 2s+2)) ----
+        h0 = pk[0:PACK * 2:2, :]                   # (PACK, 128) l = 0
+        h1 = pk[1:PACK * 2:2, :]                   # l = 1
+        f = _mm(h0, fcw0_ref[:]) + _mm(h1, fcw1_ref[:]) + fcb1_ref[:]
+        f = jnp.maximum(f, 0.0)                    # (PACK, 256)
+        logits = _mm(f, fcw2_ref[:]) + fcb2_ref[:]
+        out_ref[0, sb * PACK:(sb + 1) * PACK, :] = logits
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
+                  rels: jax.Array, interpret: bool = False) -> jax.Array:
+    """(ng,) bases + (ng, GROUP) rels -> (ng*GROUP, 128) f32 logit rows
+    (cols 0:2 are the DNAModNet logits; the rest are zero-weight lanes)."""
+    ng = bases.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 25,
+        out_specs=pl.BlockSpec((1, GROUP, 128), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, BLOCK_LANES), feats_t.dtype),    # blk
+            pltpu.VMEM((BLOCK_LANES, 128), jnp.float32),       # t1
+            pltpu.VMEM((4, BLOCK_LANES // 4, 128), jnp.float32),  # pbank
+            pltpu.VMEM((3, 128, 128), jnp.float32),            # eol
+            pltpu.VMEM((PACK * S3, 128), jnp.float32),         # pk
+            pltpu.VMEM((PACK * S3 // 2, 128), jnp.float32),    # pg
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    weights = [prep["w1m"], prep["c1bias"], prep["w1tap0"], prep["w1tap10"],
+               prep["corr0c"], prep["corr196c"]]
+    for wk, bm in zip(prep["wm"], prep["bm"]):
+        weights += [wk, bm]
+    weights += [prep["fcw0"], prep["fcw1"], prep["fcb1"],
+                prep["fcw2"], prep["fcb2"]]
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, GROUP, 128), jnp.float32),
+        interpret=interpret,
+    )(bases.astype(jnp.int32), rels.astype(jnp.int32), feats_t, *weights)
+    return out.reshape(ng * GROUP, 128)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def call_sites_fused(prep: dict, feats_t: jax.Array, bases: jax.Array,
+                     rels: jax.Array, interpret: bool = False) -> jax.Array:
+    """Chunked dispatch wrapper matching call_sites_pallas's interface:
+    bases (nb, NG) / rels (nb, NG, GROUP) -> u8 probs (nb*NG*GROUP,)."""
+    from ..model.cnn import logits_to_scaled_probs
+
+    def one(batch):
+        b, r = batch
+        rows = fused_forward(prep, feats_t, b, r, interpret=interpret)
+        return logits_to_scaled_probs(rows[:, :2])
+
+    probs = jax.lax.map(one, (bases, rels))
+    return probs.reshape(-1)
