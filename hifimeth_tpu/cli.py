@@ -87,11 +87,12 @@ def _parse_call(argv):
             cfg.feat_channels = int(argv[i + 1]); i += 2
         elif a == "--gather-impl":
             cfg.gather_impl = argv[i + 1]; i += 2
-            if cfg.gather_impl not in ("auto", "slice", "folded", "pallas"):
+            if cfg.gather_impl not in ("auto", "slice", "folded", "pallas",
+                                       "fused"):
                 raise SystemExit(
                     f"Illegal argument to option '--gather-impl': "
                     f"{cfg.gather_impl} "
-                    f"(expected auto|slice|folded|pallas)")
+                    f"(expected auto|slice|folded|pallas|fused)")
         elif a == "--sync-emit":
             cfg.async_emit = False; i += 1
         elif a == "--decode-workers":

@@ -302,16 +302,17 @@ class CallEngine:
             # would run in the interpreter there)
             cfg.gather_impl = ("folded" if jax.default_backend() == "cpu"
                                else "pallas")
-        if cfg.gather_impl not in ("slice", "folded", "pallas"):
+        if cfg.gather_impl not in ("slice", "folded", "pallas", "fused"):
             # fail fast like the reference option parser (mod_options.cpp:61-134);
             # retired experimental impls live in scripts/experimental_gathers.py
             raise ValueError(
                 f"unknown gather_impl {cfg.gather_impl!r}; "
-                f"choose auto, slice, folded, or pallas")
+                f"choose auto, slice, folded, pallas, or fused")
         # packing/fold/alignment contracts (folded: N % 16, pallas: block
         # base clipping) want a 128-multiple buffer capacity
         cfg.buffer_bases = -(-cfg.buffer_bases // 128) * 128
-        if cfg.gather_impl in ("folded", "pallas") and cfg.feat_channels != 8:
+        if cfg.gather_impl in ("folded", "pallas", "fused") and \
+                cfg.feat_channels != 8:
             from ..utils.logging import warn
             warn("--feat-channels is ignored with folded/pallas gather "
                  "(their table layouts are fixed at 8 channels)")
@@ -330,6 +331,22 @@ class CallEngine:
                                feat_channels=cfg.feat_channels)
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
+        self.fused_prep = None
+        if cfg.gather_impl == "fused":
+            # matmul-layout weights for the fully-fused kernel; loads the
+            # raw pytrees again (ModelSet device-puts its copies)
+            from ..model.cnn import load_params_npz
+            from ..ops.fused import prepare_fused_params
+            md = cfg.resolve_model_dir()
+            self.fused_prep = {
+                ctx: prepare_fused_params(
+                    load_params_npz(os.path.join(md, f"{ctx}.npz")))
+                for ctx in cfg.contexts}
+            if cfg.data_parallel:
+                from ..utils.logging import warn
+                warn("--data-parallel is not supported with gather_impl="
+                     "fused yet; running single-device")
+                cfg.data_parallel = False
         self.mesh = None
         if cfg.data_parallel and len(jax.local_devices()) > 1:
             from ..parallel.mesh import make_mesh, replicated
@@ -467,10 +484,11 @@ class CallEngine:
         # sub-capacity flushes only pay off on the pallas path, where just
         # the FILLED segments ship (slice/folded ship the whole cap-sized
         # buffer per flush, so finer flushes would multiply H2D traffic)
-        fb = (self.cfg.flush_bases if self.cfg.gather_impl == "pallas"
+        fb = (self.cfg.flush_bases if self.cfg.gather_impl in ("pallas", "fused")
               else 0) or self.cfg.buffer_bases
         ramp = self.cfg.flush_ramp
-        if self.cfg.gather_impl == "pallas" and self._flush_count < len(ramp):
+        if self.cfg.gather_impl in ("pallas", "fused") and \
+                self._flush_count < len(ramp):
             fb = min(fb, ramp[self._flush_count])
         packed = self._fill - self._last_flush_fill
         if self._fill + read.size > self.cfg.buffer_bases - self._margin:
@@ -493,7 +511,7 @@ class CallEngine:
         self._planes[3, start:end] = read.ri
         self._planes[4, start:end] = read.rp
         self._fill = end + self._gap
-        if self.cfg.gather_impl == "pallas":
+        if self.cfg.gather_impl in ("pallas", "fused"):
             # stream finalized plane segments to the device now, overlapping
             # the transfer with the remaining host decode/site-scan work
             self._ship_segments(self._fill // self._seg_size)
@@ -625,12 +643,22 @@ class CallEngine:
         else:
             streams = [(None, False)]
 
+        fused = self.cfg.gather_impl == "fused"
         plan = []
         for sel, rev in streams:
             cs = c_s if sel is None else c_s[sel]
             if len(cs) == 0:
                 continue
-            starts = (cs - hk).astype(np.int32)
+            if fused and rev:
+                # fused kernel has no rev program: rev sites extract
+                # FORWARD from the pre-reversed table at mirrored starts
+                # (ops/fused.reverse_table).  Mirrored starts of ascending
+                # centers are descending, so flip the selection to keep
+                # the position-sorted-grouping invariant.
+                sel = sel[::-1]
+                starts = (n_rows - 1 - c_s[sel] - hk).astype(np.int32)
+            else:
+                starts = (cs - hk).astype(np.int32)
             from ..io import native as nativeio
             fast = nativeio.plan_groups_fast(starts, G, BL,
                                              CHUNK_LANES + 127, n_rows)
@@ -671,12 +699,22 @@ class CallEngine:
             from ..features.windows import call_sites_pallas_dp
             sh2 = NamedSharding(self.mesh, P(None, "data"))
             sh3 = NamedSharding(self.mesh, P(None, "data", None))
+        if fused:
+            from ..ops.fused import call_sites_fused
+            feats_fwd, feats_rev = feats_t
         results = []
         for sel, rev, b128_b, rels_b, idx, ng, chunks in plan:
             probs_parts = []
             o = 0
             for k in chunks:
-                if self.mesh is not None:
+                if fused:
+                    probs_parts.append(call_sites_fused(
+                        self.fused_prep[ctx],
+                        feats_rev if rev else feats_fwd,
+                        jnp.asarray(b128_b[o:o + k]),
+                        jnp.asarray(rels_b[o:o + k]),
+                        interpret=kw["interpret"]))
+                elif self.mesh is not None:
                     probs_parts.append(call_sites_pallas_dp(
                         self.models.params[ctx], feats_t,
                         jax.device_put(b128_b[o:o + k], sh2),
@@ -696,7 +734,7 @@ class CallEngine:
         """Dispatch all of this flush's sites for one context; returns a
         device array future (fetch with np.asarray later to overlap the
         three contexts)."""
-        if self.cfg.gather_impl == "pallas":
+        if self.cfg.gather_impl in ("pallas", "fused"):
             # works with or without a data-parallel mesh: multi-chip scales
             # the SAME group-fetch kernel via shard_map, never silently
             # downgrading to the slice gather
@@ -760,6 +798,11 @@ class CallEngine:
         if kind == "pallas":
             feats = featurize_planes_t_seg(payload,
                                            cap=self.cfg.buffer_bases)
+            if self.cfg.gather_impl == "fused":
+                # fused kernels take (fwd, reversed) tables; the reversed
+                # one serves reverse-strand (CHH) sites at mirrored starts
+                from ..ops.fused import reverse_table
+                feats = (feats, reverse_table(feats))
         else:
             planes_dev = jnp.asarray(payload)
             if self.mesh is not None:
@@ -804,7 +847,7 @@ class CallEngine:
         work = None
         if self._fill > self._last_flush_fill or self._pending:
             if self._fill > self._last_flush_fill and \
-                    self.cfg.gather_impl == "pallas":
+                    self.cfg.gather_impl in ("pallas", "fused"):
                 # payload = the FINAL segments shipped so far plus one
                 # interim copy of the in-progress segment (windows of this
                 # flush's last read reach up to fill-16; the interim piece

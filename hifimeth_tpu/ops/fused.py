@@ -44,15 +44,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KMER = 401
-LO1 = 197                 # conv1 output length: (401 + 2 - 11) // 2 + 1
 GROUP = 32                # sites per HBM block DMA (matches gather kernel)
 PACK = 8                  # sites per deep-layer matmul
 BLOCK_LANES = 2048
-#: per-site sublane strides of the packed deep-layer tensors
-S3, S4, S5, S6, S7, S8 = 128, 64, 32, 16, 8, 4
-#: valid rows per site at each deep layer's OUTPUT
-V3, V4, V5, V6, V7, V8 = 99, 50, 25, 13, 7, 4
-V_OUT = 2                 # conv8 output length
+#: per-site sublane strides of the packed deep-layer tensors (conv3 input
+#: through conv8 output); valid row counts are derived from the conv1
+#: kernel size (shipped models: ks1=11 for CpG/CHG -> Lo1=197, ks1=13 for
+#: CHH -> Lo1=196) and always fit these power-of-two strides
+STRIDES = (128, 64, 32, 16, 8, 4, 2)
+
+
+def _lo_chain(k1: int) -> list[int]:
+    """Per-layer output lengths [Lo1..Lo8] for conv1 kernel size k1."""
+    lo = [(KMER + 2 - k1) // 2 + 1]
+    for _ in range(7):
+        lo.append((lo[-1] - 1) // 2 + 1)
+    return lo
 
 
 # ---------------------------------------------------------------------------
@@ -66,28 +73,29 @@ def prepare_fused_params(params) -> dict:
     convs = params["convs"]
     if len(convs) != 8:
         raise ValueError("fused kernel supports the 8-conv DNAModNet only")
-    w1 = np.asarray(convs[0]["w"], np.float32)          # (K, 8, 128) WIO
-    if w1.shape != (11, 8, 128):
+    w1 = np.asarray(convs[0]["w"], np.float32)          # (K1, 8, 128) WIO
+    k1 = w1.shape[0]
+    if w1.shape not in ((11, 8, 128), (13, 8, 128)):
         raise ValueError(f"unexpected conv1 geometry {w1.shape}")
     scale = np.asarray(params["bn0"]["scale"], np.float32)[:8]
     shift = np.asarray(params["bn0"]["shift"], np.float32)[:8]
     w1s = w1 * scale[None, :, None]                     # bn scale folded
-    w1m = np.zeros((128, 88), np.float32)
-    for k in range(11):
+    w1m = np.zeros((128, 8 * k1), np.float32)
+    for k in range(k1):
         w1m[:, 8 * k:8 * k + 8] = w1s[k].T              # (128, 8)
     # bn shift folded into the conv1 bias: every tap contributes
-    # w1[k,:,:].T @ shift; window-edge outputs j=0 / j=196 lose one tap
+    # w1[k,:,:].T @ shift; window-edge outputs j=0 / j=Lo1-1 lose one tap
     # (zero pad), handled per site together with the data-side correction
-    tap = np.einsum("kco,c->ko", w1, shift)             # (11, 128)
+    tap = np.einsum("kco,c->ko", w1, shift)             # (K1, 128)
     c1bias = (tap.sum(axis=0)
               + np.asarray(convs[0]["b"], np.float32)).reshape(1, 128)
     prep = {
         "w1m": w1m,
         "c1bias": c1bias,
         "w1tap0": np.ascontiguousarray(w1s[0]),         # (8, 128)
-        "w1tap10": np.ascontiguousarray(w1s[10]),
+        "w1tapN": np.ascontiguousarray(w1s[k1 - 1]),
         "corr0c": tap[0].reshape(1, 128),
-        "corr196c": tap[10].reshape(1, 128),
+        "corrNc": tap[k1 - 1].reshape(1, 128),
         "wm": [], "bm": [],
     }
     for li in range(1, 8):
@@ -168,7 +176,7 @@ def _conv_step(src, n_rows, s_in, wk_ref, b_ref, v_out, s_out):
 
 def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
                   feats_ref,                     # (8, N) table ANY/HBM
-                  w1m_ref, c1b_ref, t0_ref, t10_ref, c0c_ref, c196_ref,
+                  w1m_ref, c1b_ref, t0_ref, tN_ref, c0c_ref, cN_ref,
                   wk2, bm2, wk3, bm3, wk4, bm4, wk5, bm5,
                   wk6, bm6, wk7, bm7, wk8, bm8,
                   fcw0_ref, fcw1_ref, fcb1_ref, fcw2_ref, fcb2_ref,
@@ -176,6 +184,9 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
                   blk, t1, pbank, eol, pk, pg, sems):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
+    k1 = w1m_ref.shape[1] // 8                   # 11 (CpG/CHG) or 13 (CHH)
+    lo = _lo_chain(k1)                           # [Lo1..Lo8]
+    a_last = 2 * (lo[0] - 1)                     # anchor of output j=Lo1-1
 
     def block_dma(i, slot):
         base = pl.multiple_of(bases_ref[i], 128)
@@ -201,8 +212,8 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
     # site reads (rel <= 1535, window extent 401).
     x = blk[slot]                                # (8, 2048)
     pieces = [_roll_l(x, k - 1) if k else pltpu.roll(x, 1, axis=1)
-              for k in range(11)]
-    BT = jnp.concatenate(pieces, axis=0)         # (88, 2048)
+              for k in range(k1)]
+    BT = jnp.concatenate(pieces, axis=0)         # (8*K1, 2048)
     o1 = _mm(w1m_ref[:], BT)                     # (128, 2048) RAW conv1
     t1[:, :] = o1.T                              # anchors on sublanes
     # anchor-parity banks: bank d row m = anchor 4m + d
@@ -240,52 +251,53 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
 
             # ---- per-site conv1 edge corrections + bias + ReLU --------
             # window pad: output j=0 must not see tap k=0 (= block lane
-            # rel-1) and j=196 must not see tap k=10 (= block lane
-            # rel+401); both anchors live in the E bank (rows 0 and 98)
+            # rel-1) and j=Lo1-1 must not see tap k=K1-1 (= block lane
+            # rel+401); anchor rel+a_last lands in the E bank for K1=11
+            # (a_last % 4 == 0) and in the O bank for K1=13
             im1 = (rel + BLOCK_LANES - 1) & (BLOCK_LANES - 1)
             xm1 = blk[slot, :, pl.ds(im1, 1)]            # (8, 1)
             xp1 = blk[slot, :, pl.ds(rel + KMER, 1)]     # (8, 1)
             c0 = jax.lax.dot_general(
                 xm1, t0_ref[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + c0c_ref[:]
-            c196 = jax.lax.dot_general(
-                xp1, t10_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + c196_ref[:]
-            E = eol[0]
-            E = E - jnp.where(row128 == 0, 1.0, 0.0) * c0
-            E = E - jnp.where(row128 == 98, 1.0, 0.0) * c196
+            cN = jax.lax.dot_general(
+                xp1, tN_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + cN_ref[:]
+            E = eol[0] - jnp.where(row128 == 0, 1.0, 0.0) * c0
+            Oraw = eol[1]
+            if a_last % 4 == 0:
+                E = E - jnp.where(row128 == a_last // 4, 1.0, 0.0) * cN
+            else:
+                Oraw = Oraw - jnp.where(row128 == (a_last - 2) // 4,
+                                        1.0, 0.0) * cN
             # activations: relu(raw + bias), zero rows beyond the window
-            # (x2[m] defined for m < 197: E rows < 99, O rows < 98,
-            # left rows < 99 with row 0 = conv pad zero)
-            E = jnp.where(row128 < 99, jnp.maximum(E + c1b_ref[:], 0.0), 0.0)
-            O = jnp.where(row128 < 98,
-                          jnp.maximum(eol[1] + c1b_ref[:], 0.0), 0.0)
-            left = jnp.where((row128 < 99) & (row128 > 0),
+            # (x2[m] defined for m < Lo1)
+            E = jnp.where(row128 < (lo[0] + 1) // 2,
+                          jnp.maximum(E + c1b_ref[:], 0.0), 0.0)
+            O = jnp.where(row128 < lo[0] // 2,
+                          jnp.maximum(Oraw + c1b_ref[:], 0.0), 0.0)
+            left = jnp.where((row128 < lo[0] // 2 + 1) & (row128 > 0),
                              jnp.maximum(eol[2] + c1b_ref[:], 0.0), 0.0)
 
             # ---- conv2 (three full-depth matmuls) ---------------------
             o2 = (_mm(left, wk2[0]) + _mm(E, wk2[1]) + _mm(O, wk2[2])
                   + bm2[:])
             o2 = jnp.maximum(o2, 0.0)
-            o2 = jnp.where(row128 < V3, o2, 0.0)         # 99 valid rows
-            pk[pl.ds(i * S3, S3), :] = o2
+            o2 = jnp.where(row128 < lo[1], o2, 0.0)
+            pk[pl.ds(i * STRIDES[0], STRIDES[0]), :] = o2
             return 0
 
         jax.lax.fori_loop(0, PACK, site_body, 0)
 
-        # ---- deep layers over the packed PACK sites -------------------
-        xv = _conv_step(pk, PACK * S3, S3, wk3, bm3, V4, S4)   # (512, 128)
-        pg[0:PACK * S4, :] = xv
-        xv = _conv_step(pg, PACK * S4, S4, wk4, bm4, V5, S5)   # (256, 128)
-        pk[0:PACK * S5, :] = xv
-        xv = _conv_step(pk, PACK * S5, S5, wk5, bm5, V6, S6)   # (128, 128)
-        pg[0:PACK * S6, :] = xv
-        xv = _conv_step(pg, PACK * S6, S6, wk6, bm6, V7, S7)   # (64, 128)
-        pk[0:PACK * S7, :] = xv
-        xv = _conv_step(pk, PACK * S7, S7, wk7, bm7, V8, S8)   # (32, 128)
-        pg[0:PACK * S8, :] = xv
-        xv = _conv_step(pg, PACK * S8, S8, wk8, bm8, V_OUT, 2)  # (16, 128)
-        pk[0:PACK * 2, :] = xv
+        # ---- deep layers over the packed PACK sites (pk <-> pg) -------
+        bufs = [pk, pg]
+        wks = (wk3, wk4, wk5, wk6, wk7, wk8)
+        bms = (bm3, bm4, bm5, bm6, bm7, bm8)
+        for li in range(6):
+            s_in, s_out = STRIDES[li], STRIDES[li + 1]
+            xv = _conv_step(bufs[li % 2], PACK * s_in, s_in,
+                            wks[li], bms[li], lo[li + 2], s_out)
+            bufs[(li + 1) % 2][0:PACK * s_out, :] = xv
         # ---- fc over the PACK sites (h (2, 64) at rows [2s, 2s+2)) ----
         h0 = pk[0:PACK * 2:2, :]                   # (PACK, 128) l = 0
         h1 = pk[1:PACK * 2:2, :]                   # l = 1
@@ -312,13 +324,13 @@ def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
             pltpu.VMEM((BLOCK_LANES, 128), jnp.float32),       # t1
             pltpu.VMEM((4, BLOCK_LANES // 4, 128), jnp.float32),  # pbank
             pltpu.VMEM((3, 128, 128), jnp.float32),            # eol
-            pltpu.VMEM((PACK * S3, 128), jnp.float32),         # pk
-            pltpu.VMEM((PACK * S3 // 2, 128), jnp.float32),    # pg
+            pltpu.VMEM((PACK * STRIDES[0], 128), jnp.float32),  # pk
+            pltpu.VMEM((PACK * STRIDES[0] // 2, 128), jnp.float32),  # pg
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    weights = [prep["w1m"], prep["c1bias"], prep["w1tap0"], prep["w1tap10"],
-               prep["corr0c"], prep["corr196c"]]
+    weights = [prep["w1m"], prep["c1bias"], prep["w1tap0"], prep["w1tapN"],
+               prep["corr0c"], prep["corrNc"]]
     for wk, bm in zip(prep["wm"], prep["bm"]):
         weights += [wk, bm]
     weights += [prep["fcw0"], prep["fcw1"], prep["fcb1"],

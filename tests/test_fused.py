@@ -122,3 +122,34 @@ def test_call_sites_fused_probs(model):
         jnp.asarray(rels[None, :, :]), interpret=True))
     d = np.abs(np.asarray(want).astype(int) - got.astype(int))
     assert d.max() <= 1
+
+
+def test_fused_engine_e2e(tmp_path):
+    """gather_impl=fused through the full CallEngine (all contexts, incl.
+    reverse-strand CHH via the mirrored table): identical MM strings and
+    ML probs within 1 u8 bucket of the slice path."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from util import make_kinetics_read, write_bam
+
+    from hifimeth_tpu.engine.call import CallConfig, run_call
+    from hifimeth_tpu.io.bam import BamReader
+
+    rng = np.random.default_rng(17)
+    recs = [make_kinetics_read(rng, f"r{i}", 1500) for i in range(3)]
+    bam = tmp_path / "in.bam"
+    write_bam(bam, recs)
+
+    outs = {}
+    for impl in ("slice", "fused"):
+        out = tmp_path / f"{impl}.bam"
+        run_call(str(bam), str(out),
+                 CallConfig(site_batch=256, gather_impl=impl), cmdline="t")
+        mm, ml = [], []
+        for r in BamReader(str(out)):
+            mm.append(r.get_tag("MM")[1])
+            ml.append(np.asarray(r.get_tag("ML")[1][1], int))
+        outs[impl] = (mm, np.concatenate(ml))
+    assert outs["slice"][0] == outs["fused"][0], "MM strings differ"
+    d = np.abs(outs["slice"][1] - outs["fused"][1])
+    assert d.max() <= 1, f"ML drift {d.max()}"
