@@ -181,7 +181,8 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
                   wk6, bm6, wk7, bm7, wk8, bm8,
                   fcw0_ref, fcw1_ref, fcb1_ref, fcw2_ref, fcb2_ref,
                   out_ref,                       # (1, GROUP, 128) VMEM
-                  blk, t1, pbank, eol, pk, pg, sems):
+                  blk, t1, pbank, es, os_, f0a, f0b, fLa, fLb, fLc,
+                  fixr, pk, pg, sems):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     k1 = w1m_ref.shape[1] // 8                   # 11 (CpG/CHG) or 13 (CHH)
@@ -215,96 +216,117 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
               for k in range(k1)]
     BT = jnp.concatenate(pieces, axis=0)         # (8*K1, 2048)
     o1 = _mm(w1m_ref[:], BT)                     # (128, 2048) RAW conv1
-    t1[:, :] = o1.T                              # anchors on sublanes
-    # anchor-parity banks: bank d row m = anchor 4m + d
-    pbank[0] = t1[0:BLOCK_LANES:4, :]
-    pbank[1] = t1[1:BLOCK_LANES:4, :]
-    pbank[2] = t1[2:BLOCK_LANES:4, :]
-    pbank[3] = t1[3:BLOCK_LANES:4, :]
+    t1[:, :] = o1.T                              # raw anchors on sublanes
+    # anchor-parity banks, ACTIVATED at bank level (relu(raw + bias) is
+    # exactly the per-window conv1 output for interior anchors; the few
+    # window-edge anchors are fixed per site below).  bank d row m =
+    # activated conv1 at anchor 4m + d.
+    pbank[0] = jnp.maximum(t1[0:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
+    pbank[1] = jnp.maximum(t1[1:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
+    pbank[2] = jnp.maximum(t1[2:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
+    pbank[3] = jnp.maximum(t1[3:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
 
-    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    last2 = lo[1] - 1                            # conv2's last valid row
 
-    for sb in range(GROUP // PACK):              # 4 sub-batches
-        def site_body(i, _):
-            rel = rels_ref[g, sb * PACK + i]
-            h = rel >> 2
-            d = rel & 3
-            # ---- 4-way anchor-parity extraction into eol scratch ------
-            # eol[0] = E raw  (x2[2j']  = conv1[rel + 4j'])
-            # eol[1] = O raw  (x2[2j'+1] = conv1[rel + 4j' + 2])
-            # eol[2] = left raw (x2[2j'-1] = conv1[rel + 4j' - 2])
-            for dd in range(4):
-                @pl.when(d == dd)
-                def _(dd=dd):
-                    eol[0] = pbank[dd, pl.ds(h, 128), :]
-                    if dd < 2:
-                        eol[1] = pbank[dd + 2, pl.ds(h, 128), :]
-                        hl = jnp.maximum(h - 1, 0)
-                        B = pbank[dd + 2, pl.ds(hl, 128), :]
-                        Bs = jnp.concatenate(
-                            [jnp.zeros((1, 128), jnp.float32), B[:127]],
-                            axis=0)
-                        eol[2] = jnp.where(h > 0, B, Bs)
-                    else:
-                        eol[1] = pbank[dd - 2, pl.ds(h + 1, 128), :]
-                        eol[2] = pbank[dd - 2, pl.ds(h, 128), :]
+    def site_body(i, _):
+        rel = rels_ref[g, i]
+        h = rel >> 2
+        d = rel & 3
+        # ---- stage E/O (traced bank index, contiguous dynamic reads) --
+        # E[j'] = x2[2j'] = conv1act[rel + 4j']  -> bank d, offset h
+        # O[j'] = x2[2j'+1] = conv1act[rel+2+4j'] -> bank (d+2)&3,
+        #                                            offset h + (d >= 2)
+        es[pl.ds(i * 128, 128), :] = pbank[d, pl.ds(h, 128), :]
+        os_[pl.ds(i * 128, 128), :] = pbank[(d + 2) & 3,
+                                            pl.ds(h + (d >= 2), 128), :]
 
-            # ---- per-site conv1 edge corrections + bias + ReLU --------
-            # window pad: output j=0 must not see tap k=0 (= block lane
-            # rel-1) and j=Lo1-1 must not see tap k=K1-1 (= block lane
-            # rel+401); anchor rel+a_last lands in the E bank for K1=11
-            # (a_last % 4 == 0) and in the O bank for K1=13
-            im1 = (rel + BLOCK_LANES - 1) & (BLOCK_LANES - 1)
-            xm1 = blk[slot, :, pl.ds(im1, 1)]            # (8, 1)
-            xp1 = blk[slot, :, pl.ds(rel + KMER, 1)]     # (8, 1)
-            c0 = jax.lax.dot_general(
-                xm1, t0_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + c0c_ref[:]
-            cN = jax.lax.dot_general(
-                xp1, tN_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + cN_ref[:]
-            E = eol[0] - jnp.where(row128 == 0, 1.0, 0.0) * c0
-            Oraw = eol[1]
-            if a_last % 4 == 0:
-                E = E - jnp.where(row128 == a_last // 4, 1.0, 0.0) * cN
-            else:
-                Oraw = Oraw - jnp.where(row128 == (a_last - 2) // 4,
-                                        1.0, 0.0) * cN
-            # activations: relu(raw + bias), zero rows beyond the window
-            # (x2[m] defined for m < Lo1)
-            E = jnp.where(row128 < (lo[0] + 1) // 2,
-                          jnp.maximum(E + c1b_ref[:], 0.0), 0.0)
-            O = jnp.where(row128 < lo[0] // 2,
-                          jnp.maximum(Oraw + c1b_ref[:], 0.0), 0.0)
-            left = jnp.where((row128 < lo[0] // 2 + 1) & (row128 > 0),
-                             jnp.maximum(eol[2] + c1b_ref[:], 0.0), 0.0)
+        # ---- per-site conv1 edge values (exact per-window semantics) --
+        # c0/cN remove the pad tap a block conv wrongly included; fix
+        # inputs are RAW t1 rows activated here (batched matmuls below)
+        def lane_col(idx):
+            a = pl.multiple_of((idx // 128) * 128, 128)
+            ch = blk[slot, :, pl.ds(a, 128)]
+            return pltpu.roll(ch, 128 - (idx - a), axis=1)[:, 0:1]
 
-            # ---- conv2 (three full-depth matmuls) ---------------------
-            o2 = (_mm(left, wk2[0]) + _mm(E, wk2[1]) + _mm(O, wk2[2])
-                  + bm2[:])
-            o2 = jnp.maximum(o2, 0.0)
-            o2 = jnp.where(row128 < lo[1], o2, 0.0)
-            pk[pl.ds(i * STRIDES[0], STRIDES[0]), :] = o2
-            return 0
+        im1 = (rel + BLOCK_LANES - 1) & (BLOCK_LANES - 1)
+        c0 = (jnp.sum(lane_col(im1) * t0_ref[:], axis=0, keepdims=True)
+              + c0c_ref[:])
+        cN = (jnp.sum(lane_col(rel + KMER) * tN_ref[:], axis=0,
+                      keepdims=True) + cN_ref[:])
 
-        jax.lax.fori_loop(0, PACK, site_body, 0)
+        def act_row(a, corr=None):
+            v = t1[pl.ds(a, 1), :] + c1b_ref[:]
+            if corr is not None:
+                v = v - corr
+            return jnp.maximum(v, 0.0)
 
-        # ---- deep layers over the packed PACK sites (pk <-> pg) -------
-        bufs = [pk, pg]
-        wks = (wk3, wk4, wk5, wk6, wk7, wk8)
-        bms = (bm3, bm4, bm5, bm6, bm7, bm8)
-        for li in range(6):
-            s_in, s_out = STRIDES[li], STRIDES[li + 1]
-            xv = _conv_step(bufs[li % 2], PACK * s_in, s_in,
-                            wks[li], bms[li], lo[li + 2], s_out)
-            bufs[(li + 1) % 2][0:PACK * s_out, :] = xv
-        # ---- fc over the PACK sites (h (2, 64) at rows [2s, 2s+2)) ----
-        h0 = pk[0:PACK * 2:2, :]                   # (PACK, 128) l = 0
-        h1 = pk[1:PACK * 2:2, :]                   # l = 1
-        f = _mm(h0, fcw0_ref[:]) + _mm(h1, fcw1_ref[:]) + fcb1_ref[:]
-        f = jnp.maximum(f, 0.0)                    # (PACK, 256)
-        logits = _mm(f, fcw2_ref[:]) + fcb2_ref[:]
-        out_ref[0, sb * PACK:(sb + 1) * PACK, :] = logits
+        # fix row 0 of conv2: taps x2[-1]=0, x2[0] (c0-fixed), x2[1]
+        f0a[pl.ds(i, 1), :] = act_row(rel, c0)               # x2c[0]
+        f0b[pl.ds(i, 1), :] = act_row(rel + 2)               # x2[1]
+        # fix row last2 of conv2: depends on conv1 length parity
+        if a_last % 4 == 0:      # K1=11: taps O[last2-1], E_c[last2], pad
+            fLa[pl.ds(i, 1), :] = act_row(rel + a_last - 2)  # x2[2*last2-1]
+            fLb[pl.ds(i, 1), :] = act_row(rel + a_last, cN)  # x2c[2*last2]
+            fLc[pl.ds(i, 1), :] = jnp.zeros((1, 128), jnp.float32)
+        else:                    # K1=13: taps O[l-1], E[l], O_c[l]
+            fLa[pl.ds(i, 1), :] = act_row(rel + a_last - 4)
+            fLb[pl.ds(i, 1), :] = act_row(rel + a_last - 2)
+            fLc[pl.ds(i, 1), :] = act_row(rel + a_last, cN)
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, site_body, 0)
+
+    # ---- conv2 over ALL staged sites, in 2 halves (VMEM transients) ---
+    HALF = GROUP * 128 // 2
+    rows2k = jax.lax.broadcasted_iota(jnp.int32, (HALF, 128), 0)
+    for hb in range(2):
+        Ev = es[hb * HALF:(hb + 1) * HALF, :]
+        Ov = os_[hb * HALF:(hb + 1) * HALF, :]
+        head = (jnp.zeros((1, 128), jnp.float32) if hb == 0
+                else os_[HALF - 1:HALF, :])
+        left = jnp.concatenate([head, Ov[:HALF - 1]], axis=0)
+        left = jnp.where((rows2k & 127) == 0, 0.0, left)
+        o2 = _mm(left, wk2[0]) + _mm(Ev, wk2[1]) + _mm(Ov, wk2[2]) + bm2[:]
+        o2 = jnp.maximum(o2, 0.0)
+        o2 = jnp.where((rows2k & 127) < lo[1], o2, 0.0)
+        pk[hb * HALF:(hb + 1) * HALF, :] = o2
+
+    # ---- batched window-edge fixes: recompute conv2 rows {0, last2} ---
+    # (the only valid conv2 outputs touched by edge anchors / x2 padding)
+    r0 = jnp.maximum(_mm(f0a[:], wk2[1]) + _mm(f0b[:], wk2[2]) + bm2[:],
+                     0.0)
+    if a_last % 4 == 0:
+        rL = jnp.maximum(_mm(fLa[:], wk2[0]) + _mm(fLb[:], wk2[1])
+                         + bm2[:], 0.0)
+    else:
+        rL = jnp.maximum(_mm(fLa[:], wk2[0]) + _mm(fLb[:], wk2[1])
+                         + _mm(fLc[:], wk2[2]) + bm2[:], 0.0)
+    fixr[0] = r0
+    fixr[1] = rL
+
+    def fix_body(i, _):
+        pk[pl.ds(i * 128, 1), :] = fixr[0, pl.ds(i, 1), :]
+        pk[pl.ds(i * 128 + last2, 1), :] = fixr[1, pl.ds(i, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, fix_body, 0)
+
+    # ---- deep layers over all GROUP sites (pk <-> pg ping-pong) -------
+    bufs = [pk, pg]
+    wks = (wk3, wk4, wk5, wk6, wk7, wk8)
+    bms = (bm3, bm4, bm5, bm6, bm7, bm8)
+    for li in range(6):
+        s_in, s_out = STRIDES[li], STRIDES[li + 1]
+        xv = _conv_step(bufs[li % 2], GROUP * s_in, s_in,
+                        wks[li], bms[li], lo[li + 2], s_out)
+        bufs[(li + 1) % 2][0:GROUP * s_out, :] = xv
+    # ---- fc over all GROUP sites (h (2, 64) at rows [2s, 2s+2)) -------
+    h0 = pk[0:GROUP * 2:2, :]                    # (GROUP, 128) l = 0
+    h1 = pk[1:GROUP * 2:2, :]                    # l = 1
+    f = _mm(h0, fcw0_ref[:]) + _mm(h1, fcw1_ref[:]) + fcb1_ref[:]
+    f = jnp.maximum(f, 0.0)                      # (GROUP, 256)
+    logits = _mm(f, fcw2_ref[:]) + fcb2_ref[:]
+    out_ref[0, :, :] = logits
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -321,11 +343,19 @@ def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
         out_specs=pl.BlockSpec((1, GROUP, 128), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 8, BLOCK_LANES), feats_t.dtype),    # blk
-            pltpu.VMEM((BLOCK_LANES, 128), jnp.float32),       # t1
+            pltpu.VMEM((BLOCK_LANES, 128), jnp.float32),       # t1 (raw)
             pltpu.VMEM((4, BLOCK_LANES // 4, 128), jnp.float32),  # pbank
-            pltpu.VMEM((3, 128, 128), jnp.float32),            # eol
-            pltpu.VMEM((PACK * STRIDES[0], 128), jnp.float32),  # pk
-            pltpu.VMEM((PACK * STRIDES[0] // 2, 128), jnp.float32),  # pg
+            pltpu.VMEM((GROUP * 128, 128), jnp.float32),       # es
+            pltpu.VMEM((GROUP * 128, 128), jnp.float32),       # os_
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # f0a
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # f0b
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLa
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLb
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLc
+            pltpu.VMEM((2, GROUP, 128), jnp.float32),          # fixr
+            pltpu.VMEM((GROUP * STRIDES[0], 128), jnp.float32),  # pk
+            pltpu.VMEM((GROUP * STRIDES[0] // 2, 128),
+                       jnp.float32),                           # pg
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
