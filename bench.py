@@ -325,6 +325,19 @@ def run_selfcheck(site_batch=16384):
         res["bf16_vs_f32_frac_gt3"] = round(float((db > 3).mean()), 5)
         assert db.max() <= 24 and db.mean() <= 2.0, (
             f"selfcheck: bf16 drift max {db.max()} mean {db.mean():.2f}")
+
+        # fused kernel fast mode: in-kernel matmuls run at the MXU's
+        # default precision (bf16 multiply / f32 accumulate), the same
+        # class as XLA's convs but a different accumulation order - drift
+        # vs the f32 pallas path is bounded like bf16's, in practice
+        # tighter (measured max 4 on hardware)
+        mm_f, ml_f = run("fused", gather_impl="fused")
+        assert mm_f == mm_p, "selfcheck: fused MM strings differ"
+        df = np.abs(ml_f - ml_p)
+        res["fused_vs_f32_max"] = int(df.max())
+        res["fused_vs_f32_mean"] = round(float(df.mean()), 3)
+        assert df.max() <= 24 and df.mean() <= 2.0, (
+            f"selfcheck: fused drift max {df.max()} mean {df.mean():.2f}")
     print(f"[bench] selfcheck OK: {res}", file=sys.stderr)
     return res
 

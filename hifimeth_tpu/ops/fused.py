@@ -22,16 +22,31 @@ exact per-window semantics before the conv1 bias/ReLU is applied.
 Mosaic constraints that shaped the implementation
 (scripts/probe_mosaic_ops*.py):
  - strided slicing works on REFS only (never values) and only on sublanes;
+   dynamic LANE indices must be 128-aligned (read aligned chunk + roll);
  - lane-concat needs 128-lane-aligned pieces; channel dims are zero-padded
    to 128 so every deep conv step is matmuls with K in {128, 384};
  - no in-kernel flip: reverse-strand sites use a PRE-REVERSED table
-   (reverse_table) and mirrored window starts;
- - values cannot cross @pl.when, so the 4-way anchor-parity extraction
-   writes into scratch refs.
+   (reverse_table) and mirrored window starts.
 
-Deep layers (conv3..conv8 + fc) pack PACK=8 sites along sublanes with
-power-of-two per-site strides (128, 64, 32, 16, 8, 4, 2); iota masks zero
-pad rows and each site's first left-tap row.
+conv2 runs as three M=2048 matmuls over all GROUP sites' staged raw E/O
+phases (async VMEM DMAs); the two window-edge conv2 rows per site are
+recomputed exactly from static rows of the staged tensors (one strided
+gather each, batched matmuls).  Deep layers (conv3..conv8 + fc) process
+all GROUP sites per matmul at power-of-two per-site strides
+(128, 64, 32, 16, 8, 4, 2); iota masks zero pad rows and each site's
+first left-tap row.
+
+STATUS (round 5, measured on the v5e tunnel - docs/BENCHMARKS.md): the
+kernel is CORRECT (u8 probs within 4 of the f32 XLA path, mean 0.16,
+MM strings identical e2e) but at 3.9-4.1 ms per 8192-site batch it LOSES
+to the group_windows_t + XLA conv path (2.5-2.7 ms).  Stage ablation
+(scripts/profile_fused.py): block conv1 + banks 0.2 ms, per-site E/O
+staging ~1.5 ms (copy-engine bandwidth: 1 GB/batch of per-site phase
+materialization), conv2+fixes ~1.0 ms, deep+fc ~1.1 ms (launch/VPU
+bound).  The remaining route (block-level conv2..conv4 with cascaded
+per-site edge fixes, staging only 25-row conv5 inputs) is estimated at
+~1.8 ms best case - not pursued this round.  Kept as an opt-in
+`--gather-impl fused` experimental mode, gated by a bench selfcheck leg.
 """
 from __future__ import annotations
 
@@ -181,8 +196,8 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
                   wk6, bm6, wk7, bm7, wk8, bm8,
                   fcw0_ref, fcw1_ref, fcb1_ref, fcw2_ref, fcb2_ref,
                   out_ref,                       # (1, GROUP, 128) VMEM
-                  blk, t1, pbank, es, os_, f0a, f0b, fLa, fLb, fLc,
-                  fixr, pk, pg, sems):
+                  blk, t1, pbank, es, os_, c0s, cNs,
+                  fixr, pk, pg, sems, stsem, *, stage: str = "full"):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     k1 = w1m_ref.shape[1] // 8                   # 11 (CpG/CHG) or 13 (CHH)
@@ -217,90 +232,111 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
     BT = jnp.concatenate(pieces, axis=0)         # (8*K1, 2048)
     o1 = _mm(w1m_ref[:], BT)                     # (128, 2048) RAW conv1
     t1[:, :] = o1.T                              # raw anchors on sublanes
-    # anchor-parity banks, ACTIVATED at bank level (relu(raw + bias) is
-    # exactly the per-window conv1 output for interior anchors; the few
-    # window-edge anchors are fixed per site below).  bank d row m =
-    # activated conv1 at anchor 4m + d.
-    pbank[0] = jnp.maximum(t1[0:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
-    pbank[1] = jnp.maximum(t1[1:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
-    pbank[2] = jnp.maximum(t1[2:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
-    pbank[3] = jnp.maximum(t1[3:BLOCK_LANES:4, :] + c1b_ref[:], 0.0)
+    # anchor-parity banks hold RAW conv1 (activation happens at conv2's
+    # operand prep): staging raw lets every per-site fix ingredient be a
+    # STATIC row of the staged tensors, gathered for all 32 sites with one
+    # strided read each - the v3/v4 per-site row work vanishes.
+    # bank d row m = raw conv1 at anchor 4m + d.
+    pbank[0] = t1[0:BLOCK_LANES:4, :]
+    pbank[1] = t1[1:BLOCK_LANES:4, :]
+    pbank[2] = t1[2:BLOCK_LANES:4, :]
+    pbank[3] = t1[3:BLOCK_LANES:4, :]
 
     last2 = lo[1] - 1                            # conv2's last valid row
+    if stage == "block":                         # profiling ablation
+        out_ref[0, :, :] = jnp.zeros((GROUP, 128), jnp.float32)
+        return
+
+    def stage_dma(i, d, h, which):
+        """Async VMEM->VMEM copy of one site's E or O tile on the DMA
+        engine, overlapped with the per-site correction math."""
+        dst = (es if which == 0 else os_)
+        return pltpu.make_async_copy(
+            pbank.at[d, pl.ds(h, 128), :],
+            dst.at[pl.ds(i * 128, 128), :],
+            stsem.at[which])
 
     def site_body(i, _):
         rel = rels_ref[g, i]
         h = rel >> 2
         d = rel & 3
-        # ---- stage E/O (traced bank index, contiguous dynamic reads) --
-        # E[j'] = x2[2j'] = conv1act[rel + 4j']  -> bank d, offset h
-        # O[j'] = x2[2j'+1] = conv1act[rel+2+4j'] -> bank (d+2)&3,
+        # ---- stage raw E/O ------------------------------------------
+        # E[j'] = x2raw[2j'] = conv1[rel + 4j']  -> bank d, offset h
+        # O[j'] = x2raw[2j'+1] = conv1[rel+2+4j'] -> bank (d+2)&3,
         #                                            offset h + (d >= 2)
-        es[pl.ds(i * 128, 128), :] = pbank[d, pl.ds(h, 128), :]
-        os_[pl.ds(i * 128, 128), :] = pbank[(d + 2) & 3,
-                                            pl.ds(h + (d >= 2), 128), :]
+        stage_dma(i, d, h, 0).start()
+        stage_dma(i, (d + 2) & 3, h + (d >= 2), 1).start()
 
-        # ---- per-site conv1 edge values (exact per-window semantics) --
-        # c0/cN remove the pad tap a block conv wrongly included; fix
-        # inputs are RAW t1 rows activated here (batched matmuls below)
+        # ---- per-site pad-tap corrections (c0 at j=0, cN at j=Lo1-1):
+        # the only values that cannot be batched (dynamic block lanes)
         def lane_col(idx):
             a = pl.multiple_of((idx // 128) * 128, 128)
             ch = blk[slot, :, pl.ds(a, 128)]
             return pltpu.roll(ch, 128 - (idx - a), axis=1)[:, 0:1]
 
         im1 = (rel + BLOCK_LANES - 1) & (BLOCK_LANES - 1)
-        c0 = (jnp.sum(lane_col(im1) * t0_ref[:], axis=0, keepdims=True)
-              + c0c_ref[:])
-        cN = (jnp.sum(lane_col(rel + KMER) * tN_ref[:], axis=0,
-                      keepdims=True) + cN_ref[:])
-
-        def act_row(a, corr=None):
-            v = t1[pl.ds(a, 1), :] + c1b_ref[:]
-            if corr is not None:
-                v = v - corr
-            return jnp.maximum(v, 0.0)
-
-        # fix row 0 of conv2: taps x2[-1]=0, x2[0] (c0-fixed), x2[1]
-        f0a[pl.ds(i, 1), :] = act_row(rel, c0)               # x2c[0]
-        f0b[pl.ds(i, 1), :] = act_row(rel + 2)               # x2[1]
-        # fix row last2 of conv2: depends on conv1 length parity
-        if a_last % 4 == 0:      # K1=11: taps O[last2-1], E_c[last2], pad
-            fLa[pl.ds(i, 1), :] = act_row(rel + a_last - 2)  # x2[2*last2-1]
-            fLb[pl.ds(i, 1), :] = act_row(rel + a_last, cN)  # x2c[2*last2]
-            fLc[pl.ds(i, 1), :] = jnp.zeros((1, 128), jnp.float32)
-        else:                    # K1=13: taps O[l-1], E[l], O_c[l]
-            fLa[pl.ds(i, 1), :] = act_row(rel + a_last - 4)
-            fLb[pl.ds(i, 1), :] = act_row(rel + a_last - 2)
-            fLc[pl.ds(i, 1), :] = act_row(rel + a_last, cN)
+        c0s[pl.ds(i, 1), :] = (
+            jnp.sum(lane_col(im1) * t0_ref[:], axis=0, keepdims=True)
+            + c0c_ref[:])
+        cNs[pl.ds(i, 1), :] = (
+            jnp.sum(lane_col(rel + KMER) * tN_ref[:], axis=0, keepdims=True)
+            + cN_ref[:])
         return 0
 
     jax.lax.fori_loop(0, GROUP, site_body, 0)
 
-    # ---- conv2 over ALL staged sites, in 2 halves (VMEM transients) ---
+    # drain the staging DMAs (wait decrements one copy's worth each call;
+    # the descriptor's src/dst only size the wait, as in ops/gather)
+    def drain(i, _):
+        stage_dma(0, 0, 0, 0).wait()
+        stage_dma(0, 0, 0, 1).wait()
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, drain, 0)
+
+    if stage == "stage":                         # profiling ablation
+        out_ref[0, :, :] = jnp.zeros((GROUP, 128), jnp.float32)
+        return
+
+    def act(v):
+        return jnp.maximum(v + c1b_ref[:], 0.0)
+
+    # ---- conv2 over ALL staged sites, in 2 halves (VMEM transients);
+    # activation (relu(raw + bias)) folds into the operand prep ---------
     HALF = GROUP * 128 // 2
     rows2k = jax.lax.broadcasted_iota(jnp.int32, (HALF, 128), 0)
     for hb in range(2):
-        Ev = es[hb * HALF:(hb + 1) * HALF, :]
-        Ov = os_[hb * HALF:(hb + 1) * HALF, :]
+        Ev = act(es[hb * HALF:(hb + 1) * HALF, :])
+        Ovr = os_[hb * HALF:(hb + 1) * HALF, :]
         head = (jnp.zeros((1, 128), jnp.float32) if hb == 0
                 else os_[HALF - 1:HALF, :])
-        left = jnp.concatenate([head, Ov[:HALF - 1]], axis=0)
+        left = act(jnp.concatenate([head, Ovr[:HALF - 1]], axis=0))
         left = jnp.where((rows2k & 127) == 0, 0.0, left)
+        Ov = act(Ovr)
         o2 = _mm(left, wk2[0]) + _mm(Ev, wk2[1]) + _mm(Ov, wk2[2]) + bm2[:]
         o2 = jnp.maximum(o2, 0.0)
         o2 = jnp.where((rows2k & 127) < lo[1], o2, 0.0)
         pk[hb * HALF:(hb + 1) * HALF, :] = o2
 
     # ---- batched window-edge fixes: recompute conv2 rows {0, last2} ---
-    # (the only valid conv2 outputs touched by edge anchors / x2 padding)
-    r0 = jnp.maximum(_mm(f0a[:], wk2[1]) + _mm(f0b[:], wk2[2]) + bm2[:],
-                     0.0)
-    if a_last % 4 == 0:
-        rL = jnp.maximum(_mm(fLa[:], wk2[0]) + _mm(fLb[:], wk2[1])
-                         + bm2[:], 0.0)
-    else:
-        rL = jnp.maximum(_mm(fLa[:], wk2[0]) + _mm(fLb[:], wk2[1])
-                         + _mm(fLc[:], wk2[2]) + bm2[:], 0.0)
+    # (the only valid conv2 outputs touched by pad taps / x2 padding).
+    # Every fix ingredient is a static per-site row of the raw staged
+    # tensors: one stride-128 read gathers it for all 32 sites.
+    A = jnp.maximum(es[0:GROUP * 128:128, :] + c1b_ref[:] - c0s[:], 0.0)
+    B = act(os_[0:GROUP * 128:128, :])
+    r0 = jnp.maximum(_mm(A, wk2[1]) + _mm(B, wk2[2]) + bm2[:], 0.0)
+    if a_last % 4 == 0:      # K1=11: o2[98] = W0*O[97] + W1*E_c[98]
+        La = act(os_[97:GROUP * 128:128, :])
+        Lb = jnp.maximum(es[98:GROUP * 128:128, :] + c1b_ref[:] - cNs[:],
+                         0.0)
+        rL = jnp.maximum(_mm(La, wk2[0]) + _mm(Lb, wk2[1]) + bm2[:], 0.0)
+    else:                    # K1=13: o2[97] = W0*O[96] + W1*E[97] + W2*O_c[97]
+        La = act(os_[96:GROUP * 128:128, :])
+        Lbm = act(es[97:GROUP * 128:128, :])
+        Lc = jnp.maximum(os_[97:GROUP * 128:128, :] + c1b_ref[:] - cNs[:],
+                         0.0)
+        rL = jnp.maximum(_mm(La, wk2[0]) + _mm(Lbm, wk2[1])
+                         + _mm(Lc, wk2[2]) + bm2[:], 0.0)
     fixr[0] = r0
     fixr[1] = rL
 
@@ -310,6 +346,10 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
         return 0
 
     jax.lax.fori_loop(0, GROUP, fix_body, 0)
+
+    if stage == "conv2":                         # profiling ablation
+        out_ref[0, :, :] = jnp.zeros((GROUP, 128), jnp.float32)
+        return
 
     # ---- deep layers over all GROUP sites (pk <-> pg ping-pong) -------
     bufs = [pk, pg]
@@ -329,9 +369,10 @@ def _fused_kernel(bases_ref, rels_ref,           # scalar prefetch (SMEM)
     out_ref[0, :, :] = logits
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "stage"))
 def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
-                  rels: jax.Array, interpret: bool = False) -> jax.Array:
+                  rels: jax.Array, interpret: bool = False,
+                  stage: str = "full") -> jax.Array:
     """(ng,) bases + (ng, GROUP) rels -> (ng*GROUP, 128) f32 logit rows
     (cols 0:2 are the DNAModNet logits; the rest are zero-weight lanes)."""
     ng = bases.shape[0]
@@ -347,16 +388,14 @@ def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
             pltpu.VMEM((4, BLOCK_LANES // 4, 128), jnp.float32),  # pbank
             pltpu.VMEM((GROUP * 128, 128), jnp.float32),       # es
             pltpu.VMEM((GROUP * 128, 128), jnp.float32),       # os_
-            pltpu.VMEM((GROUP, 128), jnp.float32),             # f0a
-            pltpu.VMEM((GROUP, 128), jnp.float32),             # f0b
-            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLa
-            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLb
-            pltpu.VMEM((GROUP, 128), jnp.float32),             # fLc
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # c0s
+            pltpu.VMEM((GROUP, 128), jnp.float32),             # cNs
             pltpu.VMEM((2, GROUP, 128), jnp.float32),          # fixr
             pltpu.VMEM((GROUP * STRIDES[0], 128), jnp.float32),  # pk
             pltpu.VMEM((GROUP * STRIDES[0] // 2, 128),
                        jnp.float32),                           # pg
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),                     # staging
         ],
     )
     weights = [prep["w1m"], prep["c1bias"], prep["w1tap0"], prep["w1tapN"],
@@ -366,7 +405,7 @@ def fused_forward(prep: dict, feats_t: jax.Array, bases: jax.Array,
     weights += [prep["fcw0"], prep["fcw1"], prep["fcb1"],
                 prep["fcw2"], prep["fcb2"]]
     out = pl.pallas_call(
-        _fused_kernel,
+        partial(_fused_kernel, stage=stage),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng, GROUP, 128), jnp.float32),
         interpret=interpret,
