@@ -60,7 +60,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 KMER = 401
 GROUP = 32                # sites per HBM block DMA (matches gather kernel)
-PACK = 8                  # sites per deep-layer matmul
 BLOCK_LANES = 2048
 #: per-site sublane strides of the packed deep-layer tensors (conv3 input
 #: through conv8 output); valid row counts are derived from the conv1

@@ -379,3 +379,85 @@ def test_fuzz_cigar_expansion_vs_naive(tmp_path):
         want_pi = (100.0 * sum(a == b for a, b in zip(qas, sas)) / len(qas)
                    if qas else 0.0)
         assert exp.pi == pytest.approx(want_pi)
+
+
+# ---------------------------------------------------------------------------
+# D. SAM text round trip: random records serialized to SAM lines by an
+# INDEPENDENT formatter (plain string building from the record fields, no
+# shared code with SamTextReader) must parse back to identical records.
+
+
+def _sam_line_indep(rec, refs):
+    rname = "*" if rec.refid < 0 else refs[rec.refid][0]
+    ops = "MIDNSHP=X"
+    cig = "*" if len(rec.cigar) == 0 else "".join(
+        f"{int(ln)}{ops[int(op)]}" for op, ln in zip(*rec.cigar_ops()))
+    seq = rec.seq_ascii().tobytes().decode() or "*"
+    qual = "*" if rec.qual is None else "".join(
+        chr(int(q) + 33) for q in rec.qual)
+    cols = [rec.qname, str(rec.flag), rname, str(rec.pos + 1), str(rec.mapq),
+            cig, "*", "0", "0", seq, qual]
+    for tag, ty, val in rec.tags:
+        if ty in "cCsSiI":
+            cols.append(f"{tag}:i:{int(val)}")
+        elif ty == "f":
+            cols.append(f"{tag}:f:{val:g}")
+        elif ty == "B":
+            sub, arr = val
+            body = ",".join(f"{x:g}" if sub == "f" else str(int(x))
+                            for x in arr)
+            cols.append(f"{tag}:B:{sub}" + ("," + body if len(arr) else ""))
+        else:
+            cols.append(f"{tag}:{ty}:{val}")
+    return "\t".join(cols)
+
+
+def test_fuzz_sam_text_roundtrip(tmp_path):
+    """500 random records -> independent SAM formatting -> SamTextReader
+    must reproduce the semantic fields (SAM has no unmapped-flag nibble
+    packing or int-width subtleties; compare field-by-field)."""
+    rng = np.random.default_rng(4321)
+    refs = [("chrA", 1 << 21)]
+    recs = []
+    for _ in range(500):
+        r = _random_record(rng)
+        # SAM constraints the generator doesn't know: qname/Z tags must not
+        # contain tabs (generator uses printable non-tab ranges already);
+        # an int tag is re-typed by width on parse, so compare values only
+        recs.append(r)
+    lines = ["@HD\tVN:1.6\tSO:unknown", "@SQ\tSN:chrA\tLN:2097152"]
+    lines += [_sam_line_indep(r, refs) for r in recs]
+    sam = tmp_path / "fuzz.sam"
+    sam.write_text("\n".join(lines) + "\n")
+
+    got = list(BamReader(str(sam)))
+    assert len(got) == len(recs)
+    for a, b in zip(got, recs):
+        assert a.qname == b.qname
+        assert a.flag == b.flag
+        assert a.refid == b.refid and a.pos == b.pos and a.mapq == b.mapq
+        np.testing.assert_array_equal(a.cigar, b.cigar)
+        np.testing.assert_array_equal(a.seq_ascii(), b.seq_ascii())
+        if b.qual is None:
+            assert a.qual is None
+        else:
+            np.testing.assert_array_equal(a.qual, b.qual)
+        assert len(a.tags) == len(b.tags)
+        for (ta, ya, va), (tb, yb, vb) in zip(a.tags, b.tags):
+            assert ta == tb
+            if yb in "cCsSiI":
+                assert int(va) == int(vb), (ta, va, vb)
+            elif yb == "f":
+                assert abs(float(va) - float(vb)) <= 1e-5 * max(
+                    1.0, abs(float(vb)))
+            elif yb == "B":
+                sa, aa = va
+                sb, ab = vb
+                if sb == "f":
+                    np.testing.assert_allclose(
+                        np.asarray(aa, np.float32), ab, rtol=1e-5)
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(aa, np.int64), np.asarray(ab, np.int64))
+            else:
+                assert va == vb
