@@ -356,7 +356,7 @@ def main():
     ap.add_argument("--conv-impl", default="direct",
                     choices=["direct", "im2col", "auto"])
     ap.add_argument("--gather-impl", default="auto",
-                    choices=["auto", "slice", "folded", "pallas"])
+                    choices=["auto", "slice", "folded", "pallas", "fused"])
     ap.add_argument("--feat-channels", type=int, default=8)
     ap.add_argument("--pileup-reads", type=int, default=150)
     ap.add_argument("--skip-pileup", action="store_true")

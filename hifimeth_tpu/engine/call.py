@@ -336,7 +336,16 @@ class CallEngine:
             # matmul-layout weights for the fully-fused kernel; loads the
             # raw pytrees again (ModelSet device-puts its copies)
             from ..model.cnn import load_params_npz
-            from ..ops.fused import prepare_fused_params
+            from ..ops.fused import KMER as FUSED_KMER, prepare_fused_params
+            if self.models.kmer != FUSED_KMER:
+                raise ValueError(
+                    f"gather_impl=fused supports kmer={FUSED_KMER} only "
+                    f"(model dir declares kmer={self.models.kmer}); use "
+                    f"gather_impl=pallas")
+            if cfg.compute_dtype == "bfloat16":
+                from ..utils.logging import warn
+                warn("--dtype bf16 has no effect with gather_impl=fused "
+                     "(in-kernel matmuls run default MXU precision)")
             md = cfg.resolve_model_dir()
             self.fused_prep = {
                 ctx: prepare_fused_params(

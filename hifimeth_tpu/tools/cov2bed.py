@@ -61,9 +61,11 @@ def _zero_cov_error(name: str, pos: int) -> ValueError:
     real Bismark .cov files only list covered positions.  Pin the behavior
     as a clean error instead of an accidental nan row."""
     return ValueError(
-        f"cov2bed: zero total coverage at {name}:{pos} (the reference "
-        f"asserts cov > 0, cov_to_bed.cpp:27); remove 0/0 rows from the "
-        f"Bismark input")
+        f"cov2bed: zero total coverage at {name}:{pos} (0-based, "
+        f"strand-AGGREGATED output position; the offending 1-based .cov "
+        f"row may be at {pos + 1} or a reverse-strand mate 1-2 bp away). "
+        f"The reference asserts cov > 0 (cov_to_bed.cpp:27); remove 0/0 "
+        f"rows from the Bismark input")
 
 
 def _dump_chr(out, name: str, acc: _ChrAccum) -> None:

@@ -287,7 +287,13 @@ def test_sam_input_through_pileup(tmp_path):
 
     run_pileup(str(fa), str(bam), str(tmp_path / "a"), spill_dir=str(tmp_path))
     run_pileup(str(fa), str(sam), str(tmp_path / "b"), spill_dir=str(tmp_path))
+    # sharded pass 1 over the SAM input exercises the direct-record
+    # ownership-skip branch of _pass1_stream (round-5 ADVICE fix)
+    from hifimeth_tpu.quant.pileup import run_pileup_parallel
+    run_pileup_parallel(str(fa), str(sam), str(tmp_path / "c"), workers=2,
+                        spill_dir=str(tmp_path))
     for ctx in ("CpG", "CHG", "CHH"):
         a = (tmp_path / f"a.{ctx}.cov.bed").read_bytes()
         b = (tmp_path / f"b.{ctx}.cov.bed").read_bytes()
-        assert a == b and len(a) > 0
+        c = (tmp_path / f"c.{ctx}.cov.bed").read_bytes()
+        assert a == b == c and len(a) > 0
