@@ -45,7 +45,8 @@ staging ~1.5 ms (copy-engine bandwidth: 1 GB/batch of per-site phase
 materialization), conv2+fixes ~1.0 ms, deep+fc ~1.1 ms (launch/VPU
 bound).  The remaining route (block-level conv2..conv4 with cascaded
 per-site edge fixes, staging only 25-row conv5 inputs) is estimated at
-~1.8 ms best case - not pursued this round.  Kept as an opt-in
+~2.2-2.5 ms (anchor-padding FLOPs replace staging bandwidth) -
+roughly a tie, not pursued.  Kept as an opt-in
 `--gather-impl fused` experimental mode, gated by a bench selfcheck leg.
 """
 from __future__ import annotations
