@@ -279,3 +279,39 @@ def test_batch_stats_logged(tmp_path, capfd):
     assert err.count("  ## Reads: 4") >= 2
     assert "******** Final stats:" in err
     assert "  ## Reads: 9" in err
+
+
+def test_call_reads_with_n_bases(tmp_path):
+    """Reads containing N bases run the full call path: N never matches a
+    motif (no sites ON an N) but windows OVERLAPPING Ns must featurize as
+    all-zero one-hot (the reference indexes a 4-entry table out of bounds
+    there - UB; our pinned divergence, docs/PARITY.md).  The slice and
+    pallas-interpret paths must agree exactly."""
+    rng = np.random.default_rng(23)
+    recs = []
+    for i in range(3):
+        r = make_kinetics_read(rng, f"n{i}", 1600)
+        seq = r.seq_ascii().copy()
+        # salt ~5% Ns, incl. a run (real HiFi reads carry occasional Ns)
+        idx = rng.choice(len(seq), len(seq) // 20, replace=False)
+        seq[idx] = ord("N")
+        seq[700:720] = ord("N")
+        r.set_seq(seq, qual=r.qual)
+        recs.append(r)
+    bam = tmp_path / "n.bam"
+    write_bam(bam, recs)
+
+    outs = {}
+    for impl in ("slice", "folded"):
+        out = tmp_path / f"{impl}.bam"
+        run_call(str(bam), str(out),
+                 CallConfig(site_batch=256, gather_impl=impl), cmdline="t")
+        got = list(BamReader(str(out)))
+        assert len(got) == 3
+        mm = [r.get_tag("MM")[1] if r.get_tag("MM") else None for r in got]
+        ml = [np.asarray(r.get_tag("ML")[1][1], int) if r.get_tag("ML")
+              else np.empty(0, int) for r in got]
+        assert any(m is not None for m in mm), "N-salted reads lost all sites"
+        outs[impl] = (mm, np.concatenate(ml))
+    assert outs["slice"][0] == outs["folded"][0]
+    np.testing.assert_array_equal(outs["slice"][1], outs["folded"][1])
