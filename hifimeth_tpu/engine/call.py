@@ -574,6 +574,16 @@ class CallEngine:
         while nb > top:
             chunks.append(top)
             nb -= top
+        # single rounded chunk when the padding stays small: each dispatch
+        # costs a fixed latency through remote-TPU tunnels (2-10+ ms in slow
+        # windows) while <=20% padding costs well under 1 device-ms, so a
+        # [6, 1] tail is better dispatched as one 8-bucket chunk (round-5
+        # interleaved A/B; the threshold keeps the worst 33% bucket-step
+        # pad on the two-chunk path)
+        up = cls._bucket_batches(nb)
+        if (up - nb) / up <= 0.2:
+            chunks.append(up)
+            return chunks
         b = max(b for b in cls._BUCKETS if b <= nb)
         chunks.append(b)
         if nb - b:
