@@ -184,105 +184,110 @@ def run_cov2bed(reference_path: str, context: str, bismark_path: str,
         raise SystemExit(1)
     db = FastaDatabase(reference_path)
     out = open(bed_path, "w")
+    # everything below may raise (zero-coverage rows, corrupted
+    # records); the finally keeps the output handle from leaking
+    # (close() is idempotent, so the early-return closes stay)
+    try:
+        from ..io import native
+        lib_ok = native.available() and \
+            getattr(native._load(), "hm_scan_bed6", None) and \
+            getattr(native._load(), "hm_bed_rows7", None)
+        raw_data: bytes | None = None
+        if lib_ok:
+            from ..utils.lines import read_bytes
+            raw_data = read_bytes(bismark_path)
+            names, chrid, start, end, pcov, ncov = native.scan_bed6(
+                raw_data, skip_short=False)
+            if np.any(end != start):
+                i = int(np.flatnonzero(end != start)[0])
+                out.close()
+                raise ValueError(
+                    f"bismark cov must have end==start: "
+                    f"{names[chrid[i]]}:{start[i]}-{end[i]}")
+            # the vectorized path assumes position-sorted runs (standard
+            # Bismark output); anything else falls back to the row loop
+            soff = start - 1
+            sorted_runs = all(
+                np.all(np.diff(soff[chrid == r]) >= 0) for r in range(len(names)))
+            if sorted_runs:
+                fs, rs = _run_cov2bed_vec(db, ctx, names, chrid, soff,
+                                          pcov, ncov, out)
+                out.close()
+                log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)
+                return
+        acc: _ChrAccum | None = None
+        last_sid = -1
+        fs = rs = 0
+        import contextlib
+        if raw_data is not None:
+            # the native path already consumed the source (possibly stdin);
+            # iterate the bytes we hold instead of reopening the path
+            f_ctx = contextlib.nullcontext(
+                line + "\n" for line in raw_data.decode().splitlines())
+        else:
+            from ..utils.lines import open_text
+            f_ctx = open_text(bismark_path)
+        with f_ctx as f:
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) < 6:
+                    raise ValueError(f"corrupted bismark record {line!r}")
+                sid = db.seq_name2id(cols[0])
+                if sid != last_sid:
+                    if last_sid != -1:
+                        _dump_chr(out, db.seq_name(last_sid), acc)
+                    last_sid = sid
+                    acc = _ChrAccum(db.seq_length(sid))
+                soff = int(cols[1])
+                send = int(cols[2])
+                if send != soff:
+                    raise ValueError(f"bismark cov must have end==start: {line!r}")
+                pcov = int(cols[4])
+                ncov = int(cols[5])
+                soff -= 1
+                seq = db.seq_bases(sid)
+                L = len(seq)
+                c0 = seq[soff]
 
-    from ..io import native
-    lib_ok = native.available() and \
-        getattr(native._load(), "hm_scan_bed6", None) and \
-        getattr(native._load(), "hm_bed_rows7", None)
-    raw_data: bytes | None = None
-    if lib_ok:
-        from ..utils.lines import read_bytes
-        raw_data = read_bytes(bismark_path)
-        names, chrid, start, end, pcov, ncov = native.scan_bed6(
-            raw_data, skip_short=False)
-        if np.any(end != start):
-            i = int(np.flatnonzero(end != start)[0])
-            out.close()
-            raise ValueError(
-                f"bismark cov must have end==start: "
-                f"{names[chrid[i]]}:{start[i]}-{end[i]}")
-        # the vectorized path assumes position-sorted runs (standard
-        # Bismark output); anything else falls back to the row loop
-        soff = start - 1
-        sorted_runs = all(
-            np.all(np.diff(soff[chrid == r]) >= 0) for r in range(len(names)))
-        if sorted_runs:
-            fs, rs = _run_cov2bed_vec(db, ctx, names, chrid, soff,
-                                      pcov, ncov, out)
-            out.close()
-            log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)
-            return
-    acc: _ChrAccum | None = None
-    last_sid = -1
-    fs = rs = 0
-    import contextlib
-    if raw_data is not None:
-        # the native path already consumed the source (possibly stdin);
-        # iterate the bytes we hold instead of reopening the path
-        f_ctx = contextlib.nullcontext(
-            line + "\n" for line in raw_data.decode().splitlines())
-    else:
-        from ..utils.lines import open_text
-        f_ctx = open_text(bismark_path)
-    with f_ctx as f:
-        for line in f:
-            cols = line.rstrip("\n").split("\t")
-            if len(cols) < 6:
-                raise ValueError(f"corrupted bismark record {line!r}")
-            sid = db.seq_name2id(cols[0])
-            if sid != last_sid:
-                if last_sid != -1:
-                    _dump_chr(out, db.seq_name(last_sid), acc)
-                last_sid = sid
-                acc = _ChrAccum(db.seq_length(sid))
-            soff = int(cols[1])
-            send = int(cols[2])
-            if send != soff:
-                raise ValueError(f"bismark cov must have end==start: {line!r}")
-            pcov = int(cols[4])
-            ncov = int(cols[5])
-            soff -= 1
-            seq = db.seq_bases(sid)
-            L = len(seq)
-            c0 = seq[soff]
-
-            if ctx == "CPG":
-                if c0 == _C and soff + 1 < L and seq[soff + 1] == _G:
-                    acc.set(soff, pcov, ncov, "CG")
-                    fs += 1
-                if c0 == _G and soff - 1 >= 0 and seq[soff - 1] == _C:
-                    acc.add(soff - 1, pcov, ncov, "CG")
-                    rs += 1
-            elif ctx == "CHG":
-                if c0 == _C and soff + 2 < L:
-                    c1, c2 = seq[soff + 1], seq[soff + 2]
-                    if c2 == _G and c1 in (ord("C"), ord("A"), ord("T")):
-                        acc.set(soff, pcov, ncov, "C" + chr(c1) + "G")
+                if ctx == "CPG":
+                    if c0 == _C and soff + 1 < L and seq[soff + 1] == _G:
+                        acc.set(soff, pcov, ncov, "CG")
                         fs += 1
-                if c0 == _G and soff - 2 >= 0:
-                    c1, c2 = seq[soff - 1], seq[soff - 2]
-                    if c2 == _C and c1 == _G:
-                        # genome CGG: kept at the G's own position
-                        acc.set(soff, pcov, ncov, "CCG")
+                    if c0 == _G and soff - 1 >= 0 and seq[soff - 1] == _C:
+                        acc.add(soff - 1, pcov, ncov, "CG")
                         rs += 1
-                    elif c2 == _C and c1 in (ord("A"), ord("T")):
-                        acc.add(soff - 2, pcov, ncov, "C" + chr(c1) + "G",
-                                keep_existing_motif=True)
-                        rs += 1
-            else:  # CHH
-                if c0 == _C and soff + 2 < L:
-                    h = _motif_hash_at(seq, soff)
-                    if h < 64 and FWD_CHH_IDX[h] != 255:
-                        acc.set(soff, pcov, ncov,
-                                FWD_CHH_MOTIFS[FWD_CHH_IDX[h]])
-                        fs += 1
-                elif c0 == _G and soff - 2 >= 0:
-                    h = _motif_hash_at(seq, soff - 2)
-                    if h < 64 and REV_CHH_IDX[h] != 255:
-                        acc.set(soff, pcov, ncov,
-                                FWD_CHH_MOTIFS[REV_CHH_IDX[h]])
-                        rs += 1
-    if acc is not None and last_sid != -1:
-        _dump_chr(out, db.seq_name(last_sid), acc)
-    out.close()
-    log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)
+                elif ctx == "CHG":
+                    if c0 == _C and soff + 2 < L:
+                        c1, c2 = seq[soff + 1], seq[soff + 2]
+                        if c2 == _G and c1 in (ord("C"), ord("A"), ord("T")):
+                            acc.set(soff, pcov, ncov, "C" + chr(c1) + "G")
+                            fs += 1
+                    if c0 == _G and soff - 2 >= 0:
+                        c1, c2 = seq[soff - 1], seq[soff - 2]
+                        if c2 == _C and c1 == _G:
+                            # genome CGG: kept at the G's own position
+                            acc.set(soff, pcov, ncov, "CCG")
+                            rs += 1
+                        elif c2 == _C and c1 in (ord("A"), ord("T")):
+                            acc.add(soff - 2, pcov, ncov, "C" + chr(c1) + "G",
+                                    keep_existing_motif=True)
+                            rs += 1
+                else:  # CHH
+                    if c0 == _C and soff + 2 < L:
+                        h = _motif_hash_at(seq, soff)
+                        if h < 64 and FWD_CHH_IDX[h] != 255:
+                            acc.set(soff, pcov, ncov,
+                                    FWD_CHH_MOTIFS[FWD_CHH_IDX[h]])
+                            fs += 1
+                    elif c0 == _G and soff - 2 >= 0:
+                        h = _motif_hash_at(seq, soff - 2)
+                        if h < 64 and REV_CHH_IDX[h] != 255:
+                            acc.set(soff, pcov, ncov,
+                                    FWD_CHH_MOTIFS[REV_CHH_IDX[h]])
+                            rs += 1
+        if acc is not None and last_sid != -1:
+            _dump_chr(out, db.seq_name(last_sid), acc)
+        out.close()
+        log("forward-strand-sites: %d, reverse-strand-sites: %d", fs, rs)
+    finally:
+        out.close()
