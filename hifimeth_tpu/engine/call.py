@@ -56,7 +56,7 @@ class CallConfig:
     buffer_bases: int = 1 << 21          # packed-buffer CAPACITY (static jit
                                          # shape: featurize/table programs
                                          # compile once per cap)
-    flush_bases: int = 1 << 19           # flush GRANULARITY (512 Ki):
+    flush_bases: int = 768 << 10         # flush GRANULARITY (768 Ki):
                                          # dispatch once this many bases are
                                          # packed (0 = buffer_bases).
                                          # Smaller flushes pipeline host
@@ -66,11 +66,14 @@ class CallConfig:
                                          # buffer stays cap-sized and only
                                          # filled segments ship
                                          # (featurize_planes_t_seg zero-
-                                         # fills the tail).  Interleaved
-                                         # sweeps on the v5e tunnel:
-                                         # 448-512 Ki ~1.59M sites/s >
-                                         # 384 Ki 1.47M > 256 Ki > 192 Ki >
-                                         # cap-sized 1.19M
+                                         # fills the tail).  Round-3 sweeps
+                                         # put 448-512 Ki ahead of coarser
+                                         # sizes; after the round-5
+                                         # tail-chunk merge + segment-
+                                         # aligned flush cut, interleaved
+                                         # A/B puts 768 Ki ahead of 512 Ki
+                                         # in 4/4 paired rounds (best
+                                         # 1.37 M vs 1.27 M sites/s)
     flush_ramp: tuple = (1 << 17, 1 << 18)
                                          # flush-size RAMP: the first
                                          # flushes dispatch at these smaller
@@ -231,6 +234,8 @@ class _PendingRead:
     fwd_seq: np.ndarray | None = None    # set iff the read was called
     # per-context site slices into the flush's site arrays
     site_slices: dict = field(default_factory=dict)
+    extent: int = 0                      # packed end offset (segment-aligned
+                                         # flush cut, _split_tail)
 
 
 class ModelSet:
@@ -509,8 +514,13 @@ class CallEngine:
             self._reset_buffer()
         elif packed > 0 and packed + read.size > fb:
             # fill-through flush: dispatch this flush's sites, keep packing
-            # into the SAME buffer (already-shipped segments are reused)
-            self.flush(out)
+            # into the SAME buffer (already-shipped segments are reused).
+            # defer_tail cuts the flush at the last complete H2D segment so
+            # no interim partial-segment copy crosses the tunnel
+            # (HIFIMETH_NO_SEG_ALIGN=1 restores the round-4 interim-ship
+            # behavior for A/B measurement)
+            self.flush(out, defer_tail=not os.environ.get(
+                "HIFIMETH_NO_SEG_ALIGN"))
         t0 = time.perf_counter()
         start = self._fill
         end = start + read.size
@@ -527,7 +537,7 @@ class CallEngine:
         self.timers["pack"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        pend = _PendingRead(rec, fwd_seq=read.seq)
+        pend = _PendingRead(rec, fwd_seq=read.seq, extent=end)
         # one pass over the read for all contexts (native scanner when built)
         if found is None:
             found = sitefind.scan_all(read.seq)
@@ -852,7 +862,7 @@ class CallEngine:
         # dispatch->resolve delay and bisect (see _resolve).
         return futures
 
-    def flush(self, out: list):
+    def flush(self, out: list, defer_tail: bool = False):
         """Snapshot the packed buffer and hand it down the pipeline.
 
         Async mode (sink set): the snapshot goes to the dispatch worker
@@ -861,22 +871,38 @@ class CallEngine:
         a 4-stage pipeline (pack | dispatch | resolve | emit) so the main
         thread's only per-flush cost is the snapshot + the final segment
         ship.  Sync mode keeps the round-3 behavior: dispatch inline, keep
-        one flush in flight, resolve it when the next flush lands."""
+        one flush in flight, resolve it when the next flush lands.
+
+        `defer_tail` (fill-through flushes only): cut the flush at the last
+        COMPLETE H2D segment - reads whose windows need data past that
+        boundary carry over to the next flush - so the payload is exactly
+        the final segments already shipped and no interim copy of the
+        in-progress segment crosses the tunnel (round-5: that re-ship was
+        ~1.25 MB x ~7 flushes of redundant H2D per driver run)."""
         t0 = time.perf_counter()
+        carry = None
+        if (defer_tail and self.cfg.gather_impl in ("pallas", "fused")
+                and self._fill > self._last_flush_fill):
+            carry = self._split_tail()
+            if carry is None:
+                # no packed read clears a segment boundary yet: packing
+                # continues; the flush re-arms on the next read
+                return
+        has_packed = any(p.fwd_seq is not None for p in self._pending)
         work = None
-        if self._fill > self._last_flush_fill or self._pending:
-            if self._fill > self._last_flush_fill and \
-                    self.cfg.gather_impl in ("pallas", "fused"):
-                # payload = the FINAL segments shipped so far plus one
-                # interim copy of the in-progress segment (windows of this
-                # flush's last read reach up to fill-16; the interim piece
-                # is NOT recorded in self._segments, so when the segment
-                # finishes packing it ships again in final form and later
-                # flushes see the complete data)
+        if has_packed or self._pending:
+            if has_packed and self.cfg.gather_impl in ("pallas", "fused"):
+                # payload = the FINAL segments shipped so far plus (full
+                # flushes only) one interim copy of the in-progress segment
+                # (windows of this flush's last read reach up to fill-16;
+                # the interim piece is NOT recorded in self._segments, so
+                # when the segment finishes packing it ships again in final
+                # form and later flushes see the complete data)
                 self._ship_segments(self._fill // self._seg_size)
                 payload = list(self._segments)
                 k = len(payload)
-                if k < self.H2D_SEGMENTS and self._fill > k * self._seg_size:
+                if carry is None and k < self.H2D_SEGMENTS and \
+                        self._fill > k * self._seg_size:
                     a = k * self._seg_size
                     piece = np.ascontiguousarray(
                         self._planes[:, a:a + self._seg_size])
@@ -887,12 +913,14 @@ class CallEngine:
                     else:
                         payload.append(jnp.asarray(piece))
                 work = ("pallas", tuple(payload), self._sites)
-            elif self._fill > self._last_flush_fill:
+            elif has_packed:
                 work = ("planes", self._planes, self._sites)
         pending = self._pending
         if work is not None:
             self._flush_count += 1
         self._reset_flush_state()
+        if carry is not None:
+            self._restore_tail(carry)
 
         if self._async_active():
             self._ensure_pipeline()
@@ -909,6 +937,70 @@ class CallEngine:
         self._inflight = current
         if prev is not None:
             self._emit(prev, out)
+
+    def _split_tail(self):
+        """Segment-aligned fill-through cut (see flush(defer_tail=True)).
+
+        Reads pack at increasing offsets, so the pends whose packed data
+        reaches past the last complete H2D segment (extent > boundary) are
+        exactly a suffix of self._pending; their per-context site arrays
+        are the trailing entries of the flush's site lists (one array per
+        packed read per context).  A kept read's windows may still poke up
+        to kmer//2 past its extent, but only into the inter-read GAP,
+        whose features are exactly zero - the same thing
+        featurize_planes_t_seg materializes for the unshipped tail - so
+        only the read's own data needs to be device-visible.  Splits both
+        in place and returns the carried (pends, site-arrays) for
+        _restore_tail, or None when no kept packed read remains (caller
+        skips the flush)."""
+        seg = self._seg_size
+        boundary = min(self._fill // seg, self.H2D_SEGMENTS) * seg
+        cut = None
+        for i, p in enumerate(self._pending):
+            if p.fwd_seq is not None and p.extent > boundary:
+                cut = i
+                break
+        if cut is None:
+            return ([], None)            # nothing defers: plain flush
+        kept = self._pending[:cut]
+        if not any(p.fwd_seq is not None for p in kept):
+            return None
+        deferred = self._pending[cut:]
+        n_def = sum(1 for p in deferred if p.fwd_seq is not None)
+        arrays = {}
+        for ctx in self.cfg.contexts:
+            s = self._sites[ctx]
+            arrays[ctx] = {}
+            for k in s:
+                keep_n = len(s[k]) - n_def
+                arrays[ctx][k] = s[k][keep_n:]
+                del s[k][keep_n:]
+        self._pending = kept
+        return (deferred, arrays)
+
+    def _restore_tail(self, carry):
+        """Re-seed the post-flush state with the reads _split_tail carried:
+        their site arrays lead the new flush's lists (offsets stay valid -
+        same buffer generation - and stay position-sorted ahead of reads
+        packed later), and each pend's site_slices are re-based to the new
+        cumulative offsets."""
+        pends, arrays = carry
+        if not pends:
+            return
+        cum = {ctx: 0 for ctx in self.cfg.contexts}
+        for ctx in self.cfg.contexts:
+            s = self._sites[ctx]
+            for k in s:
+                s[k].extend(arrays[ctx][k])
+        for p in pends:
+            if p.fwd_seq is None:
+                continue
+            for ctx in self.cfg.contexts:
+                lo, hi, offs, strands = p.site_slices[ctx]
+                n = hi - lo
+                p.site_slices[ctx] = (cum[ctx], cum[ctx] + n, offs, strands)
+                cum[ctx] += n
+        self._pending.extend(pends)
 
     # -- async pipeline ------------------------------------------------------
     def _async_active(self) -> bool:
@@ -929,10 +1021,14 @@ class CallEngine:
         import queue
         import threading
         # maxsize 2 per stage bounds live flushes to ~7 across the pipeline;
-        # put() backpressure replaces the old synchronous emit stall
-        self._dispatch_q = queue.Queue(maxsize=2)
-        self._resolve_q = queue.Queue(maxsize=2)
-        self._emit_q = queue.Queue(maxsize=2)
+        # put() backpressure replaces the old synchronous emit stall.
+        # HIFIMETH_QUEUE_DEPTH is a tuning knob for remote-tunnel setups
+        # where deeper device queues hide scheduling latency (A/B'd round 5:
+        # no measurable win at depth 4 on this tunnel, default stays 2)
+        depth = int(os.environ.get("HIFIMETH_QUEUE_DEPTH", 2))
+        self._dispatch_q = queue.Queue(maxsize=depth)
+        self._resolve_q = queue.Queue(maxsize=depth)
+        self._emit_q = queue.Queue(maxsize=depth)
         self._dispatch_thread = threading.Thread(
             target=self._dispatch_worker, name="hifimeth-dispatch",
             daemon=True)

@@ -229,6 +229,42 @@ def test_flush_bases_smaller_than_read(tmp_path):
     assert outs["fine"] == outs["cap"] and len(outs["fine"]) == 4
 
 
+def test_segment_aligned_flush_parity(tmp_path):
+    """Fill-through flushes cut at H2D segment boundaries (round 5,
+    CallEngine._split_tail): reads whose packed data crosses the last
+    complete segment defer to the next flush instead of forcing an interim
+    partial-segment ship.  With seg = 2 Ki and ~1.5 Ki reads most flushes
+    defer 1-2 reads, and interleaved passthrough reads (short /
+    no-kinetics) ride along; output must be bit-identical to the slice
+    gather (no flush bookkeeping at all) and preserve input order."""
+    rng = np.random.default_rng(99)
+    recs = []
+    for i in range(40):
+        ln = int(rng.integers(1100, 2100))
+        recs.append(make_kinetics_read(rng, f"r{i}", ln))
+    # passthroughs scattered through the stream: too short + no kinetics
+    recs.insert(5, make_kinetics_read(rng, "r_short", 600))
+    nokin = make_kinetics_read(rng, "r_nokin", 1400)
+    for tag in ("fi", "ri", "fp", "rp"):
+        nokin.del_tag(tag)
+    recs.insert(23, nokin)
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    outs = {}
+    for tag, gi in (("pallas", "pallas"), ("slice", "slice")):
+        out = tmp_path / f"{tag}.bam"
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 14, site_batch=128,
+                            gather_impl=gi, flush_bases=2048))
+        outs[tag] = [
+            (r.qname, r.get_tag("MM"), None if r.get_tag("ML") is None
+             else bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+            for r in BamReader(str(out))]
+    assert [q for q, _, _ in outs["pallas"]] == [r.qname for r in recs]
+    assert outs["pallas"] == outs["slice"]
+
+
 def test_decode_prefetcher_order_and_parity(tmp_path):
     """The decode prefetcher (round-4: decode_read + scan_all on worker
     threads, sam_batch.hpp:38-54 analog) must preserve input order and
