@@ -265,6 +265,26 @@ def test_segment_aligned_flush_parity(tmp_path):
     assert outs["pallas"] == outs["slice"]
 
 
+def test_queue_depth_knob_parity(tmp_path, monkeypatch):
+    """HIFIMETH_QUEUE_DEPTH (round-5 tunnel-tuning knob) only changes
+    pipeline buffering; output must be bit-identical at any depth."""
+    rng = np.random.default_rng(7)
+    recs = [make_kinetics_read(rng, f"r{i}", 1500) for i in range(12)]
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+    outs = {}
+    for depth in ("2", "5"):
+        monkeypatch.setenv("HIFIMETH_QUEUE_DEPTH", depth)
+        out = tmp_path / f"d{depth}.bam"
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 14, site_batch=128,
+                            gather_impl="pallas", flush_bases=2048))
+        outs[depth] = [(r.qname, r.get_tag("MM"),
+                        bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+                       for r in BamReader(str(out))]
+    assert outs["2"] == outs["5"] and len(outs["2"]) == 12
+
+
 def test_decode_prefetcher_order_and_parity(tmp_path):
     """The decode prefetcher (round-4: decode_read + scan_all on worker
     threads, sam_batch.hpp:38-54 analog) must preserve input order and
