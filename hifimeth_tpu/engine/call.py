@@ -241,6 +241,34 @@ class _PendingRead:
 class ModelSet:
     """Per-context CNN parameters living on the device."""
 
+    #: process-level cache (see ModelSet.cached)
+    _cache: dict = {}
+
+    @classmethod
+    def cached(cls, model_dir: str, contexts=CONTEXTS,
+               feat_channels: int = 8) -> "ModelSet":
+        """Process-level cache of device-resident model weights.
+
+        Constructing a CallEngine device-puts ~114 weight arrays (~3 MB);
+        through a remote-TPU tunnel that is real per-run latency, and the
+        arrays are immutable once shipped, so repeated engine
+        constructions (library use, shard loops, benchmarks) reuse one
+        device copy.  The key includes the model files' mtimes, so a
+        retrained/re-imported model at the same path reloads; callers
+        that need replicated shardings (data-parallel) must copy the set
+        rather than mutate it."""
+        key = [os.path.realpath(model_dir), tuple(contexts), feat_channels,
+               jax.default_backend()]
+        for name in [f"{c}.npz" for c in contexts] + ["kmer.txt"]:
+            p = os.path.join(model_dir, name)
+            key.append(os.path.getmtime(p) if os.path.exists(p) else None)
+        key = tuple(key)
+        ms = cls._cache.get(key)
+        if ms is None:
+            ms = cls(model_dir, contexts, feat_channels=feat_channels)
+            cls._cache[key] = ms
+        return ms
+
     def __init__(self, model_dir: str, contexts=CONTEXTS,
                  feat_channels: int = 8):
         self.params = {}
@@ -332,8 +360,8 @@ class CallEngine:
                  "environment; use it for CPU verification only",
                  cfg.conv_impl)
         enable_compilation_cache()
-        self.models = ModelSet(cfg.resolve_model_dir(), cfg.contexts,
-                               feat_channels=cfg.feat_channels)
+        self.models = ModelSet.cached(cfg.resolve_model_dir(), cfg.contexts,
+                                      feat_channels=cfg.feat_channels)
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
         self.fused_prep = None
@@ -363,10 +391,15 @@ class CallEngine:
                 cfg.data_parallel = False
         self.mesh = None
         if cfg.data_parallel and len(jax.local_devices()) > 1:
+            import copy
             from ..parallel.mesh import make_mesh, replicated
             self.mesh = make_mesh(n_data=len(jax.local_devices()), n_model=1,
                                   devices=jax.local_devices())
             rep = replicated(self.mesh)
+            # shallow-copy the (cached, shared) ModelSet before re-putting
+            # the params with replicated shardings - mutating the cached
+            # set would leak mesh-sharded arrays into later engines
+            self.models = copy.copy(self.models)
             self.models.params = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, rep), self.models.params)
             log("data-parallel call over %d local devices",

@@ -265,6 +265,30 @@ def test_segment_aligned_flush_parity(tmp_path):
     assert outs["pallas"] == outs["slice"]
 
 
+def test_modelset_cache_reuse_and_mtime_invalidation(tmp_path):
+    """ModelSet.cached reuses one device copy of the weights across engine
+    constructions (round 5: ~114 device_puts per engine are real tunnel
+    latency) but must reload when the model files change on disk - the
+    cache key includes the npz/kmer.txt mtimes."""
+    import os
+    import shutil
+    from hifimeth_tpu.engine.call import ModelSet, default_model_dir
+
+    md = tmp_path / "models"
+    shutil.copytree(default_model_dir(), md)
+    a = ModelSet.cached(str(md), contexts=("CpG",))
+    b = ModelSet.cached(str(md), contexts=("CpG",))
+    assert a is b
+    # different contexts -> different set
+    c = ModelSet.cached(str(md), contexts=("CHG",))
+    assert c is not a
+    # touch the npz: a retrain/import at the same path must reload
+    p = md / "CpG.npz"
+    os.utime(p, (os.path.getmtime(p) + 10,) * 2)
+    d = ModelSet.cached(str(md), contexts=("CpG",))
+    assert d is not a
+
+
 def test_queue_depth_knob_parity(tmp_path, monkeypatch):
     """HIFIMETH_QUEUE_DEPTH (round-5 tunnel-tuning knob) only changes
     pipeline buffering; output must be bit-identical at any depth."""
