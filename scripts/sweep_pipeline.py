@@ -27,12 +27,12 @@ def main():
     from bench import count_sites, make_synthetic_bam, tunnel_health
     from hifimeth_tpu.engine.call import CallConfig, run_call
 
-    # (name, flush_bases, queue_depth, seg_align)
+    # (name, flush_bases, ramp)
     candidates = [
-        ("512Ki-align", 1 << 19, 2, True),
-        ("512Ki-interim", 1 << 19, 2, False),
-        ("768Ki-align", 768 << 10, 2, True),
-        ("768Ki-interim", 768 << 10, 2, False),
+        ("768Ki-ramp", 768 << 10, None),
+        ("768Ki-noramp", 768 << 10, ()),
+        ("1Mi-ramp", 1 << 20, None),
+        ("1Mi-noramp", 1 << 20, ()),
     ]
 
     with tempfile.TemporaryDirectory() as td:
@@ -45,9 +45,11 @@ def main():
               file=sys.stderr)
 
         cfgs = {}
-        for name, fb, *_ in candidates:
+        for name, fb, ramp in candidates:
             c = CallConfig()
             c.flush_bases = fb
+            if ramp is not None:
+                c.flush_ramp = ramp
             cfgs[name] = c
 
         # warmup (any candidate; programs are shared)
@@ -55,11 +57,7 @@ def main():
 
         best = {name: float("inf") for name, *_ in candidates}
         for r in range(args.rounds):
-            for name, _fb, q, align in candidates:
-                os.environ["HIFIMETH_QUEUE_DEPTH"] = str(q)
-                os.environ.pop("HIFIMETH_NO_SEG_ALIGN", None)
-                if not align:
-                    os.environ["HIFIMETH_NO_SEG_ALIGN"] = "1"
+            for name, *_ in candidates:
                 t0 = time.time()
                 run_call(bam, out, cfgs[name])
                 dt = time.time() - t0
