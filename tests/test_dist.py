@@ -102,13 +102,17 @@ def test_data_parallel_pallas_bitequal_single(tmp_path):
     in_bam = tmp_path / "in.bam"
     write_bam(in_bam, recs)
 
+    # flush_bases < read size forces several fill-through flushes, so the
+    # segment-aligned defer cut (round 5) runs against the mesh-replicated
+    # segment payload too, not just single-device
     base = CallConfig(site_batch=128, gather_impl="pallas",
-                      buffer_bases=1 << 15)
+                      buffer_bases=1 << 15, flush_bases=3000)
     single = tmp_path / "single.bam"
     run_call(str(in_bam), str(single), base)
 
     dp_cfg = CallConfig(site_batch=128, gather_impl="pallas",
-                        buffer_bases=1 << 15, data_parallel=True)
+                        buffer_bases=1 << 15, flush_bases=3000,
+                        data_parallel=True)
     dp = tmp_path / "dp.bam"
     run_call(str(in_bam), str(dp), dp_cfg)
 
