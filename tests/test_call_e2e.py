@@ -265,6 +265,43 @@ def test_segment_aligned_flush_parity(tmp_path):
     assert outs["pallas"] == outs["slice"]
 
 
+@pytest.mark.parametrize("seed", [11, 29, 61])
+def test_segment_aligned_flush_fuzz(tmp_path, seed):
+    """Randomized stress of the _split_tail/_restore_tail bookkeeping:
+    random read-length mixes (some spanning multiple 2 Ki segments, some
+    passthrough) against the slice gather, which has no flush state at
+    all.  Same shapes as test_segment_aligned_flush_parity so the jitted
+    programs compile once per process."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(24):
+        kind = rng.integers(0, 10)
+        if kind == 0:
+            recs.append(make_kinetics_read(rng, f"r{i}", 700))   # passthrough
+            continue
+        ln = int(rng.integers(1000, 5000))    # up to ~2.5 segments
+        r = make_kinetics_read(rng, f"r{i}", ln)
+        if kind == 1:
+            for tag in ("fi", "ri", "fp", "rp"):
+                r.del_tag(tag)                # no-kinetics passthrough
+        recs.append(r)
+    in_bam = tmp_path / "in.bam"
+    write_bam(in_bam, recs)
+
+    outs = {}
+    for gi in ("pallas", "slice"):
+        out = tmp_path / f"{gi}.bam"
+        run_call(str(in_bam), str(out),
+                 CallConfig(buffer_bases=1 << 14, site_batch=128,
+                            gather_impl=gi, flush_bases=2048))
+        outs[gi] = [
+            (r.qname, r.get_tag("MM"), None if r.get_tag("ML") is None
+             else bytes(np.asarray(r.get_tag("ML")[1][1], np.uint8)))
+            for r in BamReader(str(out))]
+    assert [q for q, _, _ in outs["pallas"]] == [r.qname for r in recs]
+    assert outs["pallas"] == outs["slice"]
+
+
 def test_modelset_cache_reuse_and_mtime_invalidation(tmp_path):
     """ModelSet.cached reuses one device copy of the weights across engine
     constructions (round 5: ~114 device_puts per engine are real tunnel
