@@ -3,8 +3,12 @@
 
 Round-robins the candidate configs (A B C A B C ...) so a slow tunnel
 window hits every candidate equally, and reports best-of plus per-round
-samples.  All candidates reuse the SAME compiled programs (flush size and
-queue depth only change dispatch chunk counts), so no recompiles happen.
+samples.  All candidates reuse the SAME compiled programs (flush size,
+ramp, queue depth and seg-align only change dispatch chunk counts), so
+no recompiles happen beyond first-use bucket programs.  Edit the
+`candidates` list for the knobs under test; round-5 campaigns measured
+seg-align on/off, flush 512Ki-1Mi, queue depth 2/4, and ramp on/off
+(docs/BENCHMARKS.md records the results).
 
 Usage: python scripts/sweep_pipeline.py [--reads 200] [--rounds 4]
 """
